@@ -1,0 +1,131 @@
+"""Batched layered normalized min-sum LDPC decoder (TS 38.212 base graphs).
+
+TPU-idiomatic re-design of the reference's layered decoder
+(lib/phy/upper/channel_coding/ldpc/ldpc_decoder_impl.cpp:116-134, int8 SIMD
+node kernels in ldpc_decoder_avx2/avx512/neon.cpp):
+
+- the *batch of codeblocks* replaces the reference's thread/pool axis; every
+  node operation is vectorized over [batch, Zc] lanes;
+- the layered schedule (46/42 base rows) is unrolled statically inside a
+  `lax.fori_loop` over iterations — one compiled program per (BG, Zc);
+- min-sum check update uses the min1/min2 trick with normalization 0.8
+  (reference default, ldpc_decoder_impl.h:172,198);
+- early stop is a whole-batch syndrome check evaluated between iterations
+  (replaces the reference's per-codeblock CRC early exit, which does not
+  batch) — iterations are data-independent in count via `lax.while_loop`.
+
+Arithmetic is float32: min/sign/add only, so the VPU is exact; the int8
+LLR *interface* convention (±120 soft, ±127 known) is preserved at the
+boundary.  A Pallas int8 kernel can later swap in behind the same API.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graphs import lifted_graph
+
+DEFAULT_SCALE = 0.8
+
+
+def _layer_slices(graph):
+    """Static (edge_offset, cols, shifts) per base row."""
+    out = []
+    e0 = 0
+    for cols, shifts in zip(graph.row_cols, graph.row_shifts):
+        out.append((e0, cols, shifts))
+        e0 += len(cols)
+    return out, e0
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _decode_impl(llr: jnp.ndarray, base_graph: int, lifting_size: int,
+                 nof_iterations: int, scale: float):
+    graph = lifted_graph(base_graph, lifting_size)
+    n, z = graph.nof_var_blocks, graph.lifting_size
+    b = llr.shape[0]
+    layers, n_edges = _layer_slices(graph)
+
+    app0 = jnp.transpose(llr.reshape(b, n, z), (1, 0, 2)).astype(jnp.float32)
+    c2v0 = jnp.zeros((n_edges, b, z), dtype=jnp.float32)
+
+    def one_iteration(state):
+        app, c2v = state
+        for e0, cols, shifts in layers:
+            d = len(cols)
+            # variable -> check messages
+            t = jnp.stack(
+                [jnp.roll(app[c], -s, axis=-1) - c2v[e0 + i]
+                 for i, (c, s) in enumerate(zip(cols, shifts))], axis=0)
+            sgn = jnp.where(t < 0, -1.0, 1.0)
+            mag = jnp.abs(t)
+            m1 = jnp.min(mag, axis=0)
+            amin = jnp.argmin(mag, axis=0)
+            big = jnp.float32(3.4e38)
+            edge_ids = jnp.arange(d)[:, None, None]
+            m2 = jnp.min(jnp.where(edge_ids == amin, big, mag), axis=0)
+            sgn_prod = jnp.prod(sgn, axis=0)
+            msg = scale * sgn_prod * sgn * jnp.where(edge_ids == amin, m2, m1)
+            # check -> variable + app update (rotate back)
+            upd = t + msg
+            for i, (c, s) in enumerate(zip(cols, shifts)):
+                app = app.at[c].set(jnp.roll(upd[i], s, axis=-1))
+            c2v = jax.lax.dynamic_update_slice_in_dim(c2v, msg, e0, axis=0)
+        return app, c2v
+
+    def syndrome_ok(app):
+        hard = (app <= 0)
+        ok = jnp.ones((b,), dtype=bool)
+        for _, cols, shifts in layers:
+            acc = jnp.zeros((b, z), dtype=jnp.int32)
+            for c, s in zip(cols, shifts):
+                acc = acc ^ jnp.roll(hard[c], -s, axis=-1).astype(jnp.int32)
+            ok = ok & jnp.all(acc == 0, axis=-1)
+        return ok
+
+    def cond(state):
+        it, app, _ = state
+        return (it < nof_iterations) & ~jnp.all(syndrome_ok(app))
+
+    def body(state):
+        it, app, c2v = state
+        app, c2v = one_iteration((app, c2v))
+        return it + 1, app, c2v
+
+    # Always run at least one iteration, then early-stop on zero syndrome.
+    _, app, c2v = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), app0, c2v0))
+
+    hard = jnp.transpose((app <= 0).astype(jnp.int8), (1, 0, 2))
+    ok = syndrome_ok(app)
+    k = graph.nof_msg_blocks
+    return hard[:, :k].reshape(b, k * z), ok
+
+
+def decode(llr: jnp.ndarray, base_graph: int, lifting_size: int,
+           nof_iterations: int = 6,
+           scale: float = DEFAULT_SCALE) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode a batch of codeblocks.
+
+    llr: [batch, N_full*Zc] float32 LLRs over the FULL variable range
+    (positive ⇒ bit 0).  Callers must place 0 for the 2*Zc punctured
+    systematic positions and a large positive value for filler bits.
+
+    Returns (message_bits [batch, K], syndrome_ok [batch]).
+    """
+    graph = lifted_graph(base_graph, lifting_size)
+    assert llr.shape[-1] == graph.nof_var_blocks * lifting_size
+    return _decode_impl(llr, base_graph, lifting_size, nof_iterations,
+                        float(scale))
+
+
+def decode_np_bruteforce_check(llr: np.ndarray, base_graph: int,
+                               lifting_size: int) -> np.ndarray:
+    """Hard-decision syndrome check helper for tests."""
+    from .graphs import parity_check_dense
+    h = parity_check_dense(lifted_graph(base_graph, lifting_size))
+    hard = (llr <= 0).astype(np.uint8)
+    return (h.astype(np.int32) @ hard.T.astype(np.int32)) % 2

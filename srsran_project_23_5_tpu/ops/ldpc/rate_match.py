@@ -1,0 +1,105 @@
+"""LDPC rate matching / dematching (TS 38.212 §5.4.2).
+
+TPU-idiomatic: for a static (BG, Zc, K', Ncb, rv, E, Qm) configuration the
+bit-selection pattern is a fixed permutation, precomputed on the host as an
+index vector.  Matching is then one gather + reshape (interleaver); recovery
+is a scatter-add that also implements LLR soft-combining of repeated bits
+— replacing the reference's sequential circular-buffer walks
+(lib/phy/upper/channel_coding/ldpc/ldpc_rate_matcher_impl.cpp:64-134 and
+ldpc_rate_dematcher_impl.cpp with AVX2/AVX512/NEON variants).
+
+Buffer convention: the circular buffer is the full codeword minus the first
+2*Zc punctured systematic columns (length N = 66*Zc or 50*Zc).  Filler bit
+positions [K'-2Zc, K-2Zc) are skipped by bit selection and restored as
+"known zero" (+LLR_INFTY) on the receive side.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ran import ldpc_params
+from ...ran.constants import LLR_INFTY
+
+
+@functools.lru_cache(maxsize=1024)
+def selection_indices(base_graph: int, lifting_size: int, rv: int,
+                      payload_length: int, segment_length: int, e: int,
+                      ncb: int | None = None) -> np.ndarray:
+    """Index into the circular buffer for each of the E selected bits."""
+    n = (66 if base_graph == 1 else 50) * lifting_size
+    ncb = n if ncb is None else ncb
+    k0 = ldpc_params.rate_match_k0(base_graph, lifting_size, rv, ncb)
+    f_begin = payload_length - 2 * lifting_size   # filler start in buffer
+    f_end = segment_length - 2 * lifting_size     # filler end in buffer
+    idx = np.empty(e, dtype=np.int32)
+    k = k0
+    for j in range(e):
+        while f_begin <= (k % ncb) < f_end:
+            k += 1
+        idx[j] = k % ncb
+        k += 1
+    return idx
+
+
+def interleave(bits: jnp.ndarray, qm: int) -> jnp.ndarray:
+    """Bit interleaver (TS 38.212 §5.4.2.2): [..., E] → [..., E]."""
+    *lead, e = bits.shape
+    return (bits.reshape(*lead, qm, e // qm)
+            .swapaxes(-1, -2)
+            .reshape(*lead, e))
+
+
+def deinterleave(bits: jnp.ndarray, qm: int) -> jnp.ndarray:
+    *lead, e = bits.shape
+    return (bits.reshape(*lead, e // qm, qm)
+            .swapaxes(-1, -2)
+            .reshape(*lead, e))
+
+
+def match(codeword: jnp.ndarray, base_graph: int, lifting_size: int, rv: int,
+          payload_length: int, segment_length: int, e: int,
+          qm: int) -> jnp.ndarray:
+    """Full codeword [..., N_full*Zc] {0,1} → rate-matched bits [..., E]."""
+    buffer = codeword[..., 2 * lifting_size:]
+    idx = selection_indices(base_graph, lifting_size, rv, payload_length,
+                            segment_length, e)
+    selected = jnp.take(buffer, jnp.asarray(idx), axis=-1)
+    return interleave(selected, qm)
+
+
+def dematch(llr: jnp.ndarray, base_graph: int, lifting_size: int, rv: int,
+            payload_length: int, segment_length: int, e: int, qm: int,
+            llr_infty: float = float(LLR_INFTY)) -> jnp.ndarray:
+    """Rate-matched LLRs [..., E] → full-codeword LLRs [..., N_full*Zc].
+
+    Repeated transmissions of the same buffer bit are soft-combined by the
+    scatter-add.  Punctured systematic LLRs are 0; filler positions are
+    pinned to +llr_infty (bit surely 0).
+    """
+    z = lifting_size
+    n = (66 if base_graph == 1 else 50) * z
+    idx = selection_indices(base_graph, lifting_size, rv, payload_length,
+                            segment_length, e)
+    de = deinterleave(llr, qm)
+    *lead, _ = llr.shape
+    buffer = jnp.zeros((*lead, n), dtype=de.dtype)
+    buffer = buffer.at[..., jnp.asarray(idx)].add(de)
+    f_begin = payload_length - 2 * z
+    f_end = segment_length - 2 * z
+    pos = jnp.arange(n)
+    filler = (pos >= f_begin) & (pos < f_end)
+    buffer = jnp.where(filler, jnp.asarray(llr_infty, de.dtype), buffer)
+    punct = jnp.zeros((*lead, 2 * z), dtype=de.dtype)
+    return jnp.concatenate([punct, buffer], axis=-1)
+
+
+def combine_retransmission(acc_llr: jnp.ndarray, new_llr: jnp.ndarray,
+                           payload_length: int, lifting_size: int,
+                           llr_infty: float = float(LLR_INFTY)) -> jnp.ndarray:
+    """HARQ soft combining of two full-codeword LLR arrays (saturating at
+    the filler sentinel to keep "known" bits known)."""
+    s = acc_llr + new_llr
+    return jnp.clip(s, -llr_infty, llr_infty)

@@ -28,8 +28,9 @@ assert len(ALL_LIFTING_SIZES) == 51
 
 def lifting_set_index(zc: int) -> int:
     """Set index iLS in {0..7} of a lifting size (TS 38.212 Table 5.3.2-1)."""
+    assert zc in ALL_LIFTING_SIZES, zc
     a = zc
-    while a % 2 == 0:
+    while a % 2 == 0 and a > 2:
         a //= 2
     return _LIFT_BASES.index(a)
 

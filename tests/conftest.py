@@ -16,3 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compiled-kernel cache (the analogue of the reference's FFTW
+# wisdom file, SURVEY.md §5.4) — makes repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_ran_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
