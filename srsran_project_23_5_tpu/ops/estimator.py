@@ -1,0 +1,81 @@
+"""Port channel estimation from DM-RS pilots.
+
+Functional re-design of the reference's
+port_channel_estimator_average_impl (lib/phy/upper/signal_processors/
+port_channel_estimator_average_impl.cpp:97-225): least-squares at pilots,
+averaging across DM-RS symbols, noise-variance estimation from residuals,
+and linear frequency interpolation replicated across the slot's symbols
+(interpolator_linear_impl).  All steps are batched jnp ops over
+[rx_port, dmrs_symbol, pilot] tensors.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ChannelEstimate:
+    """Channel state information produced by the estimator."""
+    h: jnp.ndarray            # [..., nsym, nsc] complex64 channel estimate
+    noise_var: jnp.ndarray    # [...] scalar per leading batch
+    epre: jnp.ndarray         # [...] average energy per pilot RE
+    rsrp: jnp.ndarray         # [...] |avg channel|^2 power
+
+
+def estimate_port(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray,
+                  sc_idx: np.ndarray, nsc: int, nsym: int,
+                  comb_stride: int = 2) -> ChannelEstimate:
+    """LS + average + linear-interp channel estimate.
+
+    rx_pilots: [..., ndmrs_sym, npilot] received pilot REs
+    tx_pilots: [ndmrs_sym, npilot] (or broadcastable) transmitted pilots
+    sc_idx:    pilot subcarrier indices (static numpy)
+    Returns h over the full [..., nsym, nsc] grid (time-constant estimate,
+    matching the reference's average-across-symbols strategy).
+    """
+    # Least-squares estimate at pilots (|tx| = 1/sqrt(2) scale handled by
+    # conj division).
+    lse = rx_pilots * jnp.conj(tx_pilots) / (jnp.abs(tx_pilots) ** 2)
+    ndmrs = lse.shape[-2]
+    h_avg = jnp.mean(lse, axis=-2)                         # [..., npilot]
+
+    # Noise variance: residual across DM-RS symbols when >1, else from
+    # half the power of first differences along frequency.
+    if ndmrs > 1:
+        resid = lse - h_avg[..., None, :]
+        noise_var = (jnp.mean(jnp.abs(resid) ** 2, axis=(-1, -2))
+                     * ndmrs / (ndmrs - 1))
+    else:
+        diff = lse[..., 0, 1:] - lse[..., 0, :-1]
+        noise_var = 0.5 * jnp.mean(jnp.abs(diff) ** 2, axis=-1)
+
+    epre = jnp.mean(jnp.abs(rx_pilots) ** 2, axis=(-1, -2))
+    rsrp = jnp.mean(jnp.abs(h_avg) ** 2, axis=-1)
+
+    # Linear interpolation from the pilot comb to all nsc subcarriers.
+    h_full = _interp_freq(h_avg, sc_idx, nsc)
+    h = jnp.broadcast_to(h_full[..., None, :],
+                         (*h_full.shape[:-1], nsym, nsc))
+    return ChannelEstimate(h=h, noise_var=noise_var, epre=epre, rsrp=rsrp)
+
+
+def _interp_freq(h_pilot: jnp.ndarray, sc_idx: np.ndarray,
+                 nsc: int) -> jnp.ndarray:
+    """Linear interpolation + edge extrapolation onto [0, nsc)."""
+    sc = np.asarray(sc_idx, dtype=np.float64)
+    target = np.arange(nsc, dtype=np.float64)
+    # Precompute static interpolation weights: for each target sc, the two
+    # bracketing pilots and weights (host numpy, embedded as constants).
+    right = np.searchsorted(sc, target, side="left")
+    right = np.clip(right, 1, len(sc) - 1)
+    left = right - 1
+    w_right = (target - sc[left]) / (sc[right] - sc[left])
+    w_left = 1.0 - w_right
+    li = jnp.asarray(left)
+    ri = jnp.asarray(right)
+    wl = jnp.asarray(w_left.astype(np.float32))
+    wr = jnp.asarray(w_right.astype(np.float32))
+    return h_pilot[..., li] * wl + h_pilot[..., ri] * wr

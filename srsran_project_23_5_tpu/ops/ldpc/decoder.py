@@ -41,9 +41,9 @@ def _layer_slices(graph):
     return out, e0
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _decode_impl(llr: jnp.ndarray, base_graph: int, lifting_size: int,
-                 nof_iterations: int, scale: float):
+                 nof_iterations: int, scale: float, early_stop: bool):
     graph = lifted_graph(base_graph, lifting_size)
     n, z = graph.nof_var_blocks, graph.lifting_size
     b = llr.shape[0]
@@ -86,18 +86,25 @@ def _decode_impl(llr: jnp.ndarray, base_graph: int, lifting_size: int,
             ok = ok & jnp.all(acc == 0, axis=-1)
         return ok
 
-    def cond(state):
-        it, app, _ = state
-        return (it < nof_iterations) & ~jnp.all(syndrome_ok(app))
+    if early_stop:
+        # Batch-wide early exit on zero syndrome (costs one syndrome sweep
+        # per iteration and a sequential while_loop).
+        def cond(state):
+            it, app, _ = state
+            return (it < nof_iterations) & ~jnp.all(syndrome_ok(app))
 
-    def body(state):
-        it, app, c2v = state
-        app, c2v = one_iteration((app, c2v))
-        return it + 1, app, c2v
+        def body(state):
+            it, app, c2v = state
+            app, c2v = one_iteration((app, c2v))
+            return it + 1, app, c2v
 
-    # Always run at least one iteration, then early-stop on zero syndrome.
-    _, app, c2v = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), app0, c2v0))
+        _, app, c2v = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), app0, c2v0))
+    else:
+        # Fixed iteration count — the TPU idiom: predictable latency, no
+        # per-iteration sync, pipeline-friendly.
+        app, c2v = jax.lax.fori_loop(
+            0, nof_iterations, lambda _, s: one_iteration(s), (app0, c2v0))
 
     hard = jnp.transpose((app <= 0).astype(jnp.int8), (1, 0, 2))
     ok = syndrome_ok(app)
@@ -106,8 +113,8 @@ def _decode_impl(llr: jnp.ndarray, base_graph: int, lifting_size: int,
 
 
 def decode(llr: jnp.ndarray, base_graph: int, lifting_size: int,
-           nof_iterations: int = 6,
-           scale: float = DEFAULT_SCALE) -> tuple[jnp.ndarray, jnp.ndarray]:
+           nof_iterations: int = 6, scale: float = DEFAULT_SCALE,
+           early_stop: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch of codeblocks.
 
     llr: [batch, N_full*Zc] float32 LLRs over the FULL variable range
@@ -119,7 +126,7 @@ def decode(llr: jnp.ndarray, base_graph: int, lifting_size: int,
     graph = lifted_graph(base_graph, lifting_size)
     assert llr.shape[-1] == graph.nof_var_blocks * lifting_size
     return _decode_impl(llr, base_graph, lifting_size, nof_iterations,
-                        float(scale))
+                        float(scale), early_stop)
 
 
 def decode_np_bruteforce_check(llr: np.ndarray, base_graph: int,

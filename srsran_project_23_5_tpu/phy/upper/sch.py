@@ -1,0 +1,192 @@
+"""Shared-channel processors: PDSCH transmit and PUSCH receive.
+
+TPU-native re-expression of the reference's channel processors:
+
+- PDSCH TX (pdsch_processor_impl.cpp:102-141: encode → scramble →
+  modulate → map → DM-RS): here the whole transport block is processed as
+  one jitted static-shape program; codeblocks are a batch dimension of the
+  LDPC kernel instead of a thread-pool fan-out
+  (pdsch_processor_concurrent_impl.h:37-62).
+- PUSCH RX (pusch_processor_impl.cpp:125-279: DM-RS channel estimation →
+  equalize → soft demap → descramble → rate-dematch → LDPC decode → CRC):
+  same chain in reverse over [rx_port, symbol, subcarrier] grids.
+
+Configurations are frozen dataclasses; each distinct shape compiles once.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import dmrs, equalizer, estimator, gold, modulation
+from ...ops.ldpc import decoder, encoder, rate_match, segmentation
+from ...ran import ldpc_params
+from ...ran.constants import LLR_MAX, NRE
+
+
+@dataclasses.dataclass(frozen=True)
+class ShConfig:
+    """Static configuration of one PDSCH/PUSCH allocation (single layer)."""
+    rnti: int
+    tbs: int                     # transport block size (bits)
+    qm: int                      # modulation order (2/4/6/8)
+    rv: int = 0
+    # allocation
+    prb_start: int = 0
+    nof_prb: int = 106
+    first_symbol: int = 0
+    nof_symbols: int = 14
+    # DM-RS (type 1, CDM group 0)
+    dmrs_symbols: tuple[int, ...] = (2, 7, 11)
+    dmrs_cdm_groups_without_data: int = 2
+    nid: int = 1                 # scrambling identity
+    nid_dmrs: int = 1
+    n_scid: int = 0
+    slot_in_frame: int = 0
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def data_re_indices(self) -> tuple[np.ndarray, np.ndarray]:
+        """(symbol_idx, sc_idx) arrays of data REs in mapping order."""
+        sc_lo = self.prb_start * NRE
+        sc_hi = (self.prb_start + self.nof_prb) * NRE
+        syms, scs = [], []
+        for l in range(self.first_symbol, self.first_symbol + self.nof_symbols):
+            if l in self.dmrs_symbols:
+                if self.dmrs_cdm_groups_without_data >= 2:
+                    continue  # whole symbol reserved for DM-RS
+                ks = np.arange(sc_lo + 1, sc_hi, 2)  # other comb offset
+            else:
+                ks = np.arange(sc_lo, sc_hi)
+            syms.append(np.full(ks.shape, l, dtype=np.int32))
+            scs.append(ks.astype(np.int32))
+        return np.concatenate(syms), np.concatenate(scs)
+
+    @functools.cached_property
+    def nof_data_re(self) -> int:
+        return len(self.data_re_indices[0])
+
+    @functools.cached_property
+    def nof_bits(self) -> int:
+        return self.nof_data_re * self.qm
+
+    @functools.cached_property
+    def code_rate(self) -> float:
+        return self.tbs / self.nof_bits
+
+    @functools.cached_property
+    def segments(self) -> ldpc_params.SegmentParams:
+        bg = ldpc_params.base_graph(self.tbs, self.code_rate)
+        return ldpc_params.segment_tb(self.tbs, bg)
+
+    @functools.cached_property
+    def cb_lengths(self) -> list[int]:
+        return ldpc_params.rate_match_lengths(
+            self.nof_bits, self.segments.nof_segments, self.qm, 1)
+
+    @property
+    def scrambling_cinit(self) -> int:
+        return ((self.rnti << 15) + self.nid) % (1 << 31)
+
+    def dmrs_cinit(self, symbol: int) -> int:
+        return dmrs.dmrs_cinit(self.slot_in_frame, symbol, self.nid_dmrs,
+                               self.n_scid)
+
+    @functools.cached_property
+    def dmrs_sc_indices(self) -> np.ndarray:
+        return dmrs.type1_sc_indices(self.prb_start, self.nof_prb, delta=0)
+
+
+def _dmrs_pilots(cfg: ShConfig) -> jnp.ndarray:
+    """[ndmrs_sym, 6*nof_prb] pilot values."""
+    cinits = jnp.asarray([cfg.dmrs_cinit(l) for l in cfg.dmrs_symbols],
+                         dtype=jnp.uint32)
+    return dmrs.pilot_values(cinits, cfg.prb_start, cfg.nof_prb)
+
+
+def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
+                   grid: jnp.ndarray) -> jnp.ndarray:
+    """Process one transport block onto a [nsym, nsc] (or [port, ...]) grid."""
+    seg = cfg.segments
+    cbs = segmentation.segment_tx(tb_bits, seg)          # [C, K]
+    cw = encoder.encode(cbs, seg.base_graph, seg.lifting_size)
+    rm = [
+        rate_match.match(cw[r], seg.base_graph, seg.lifting_size, cfg.rv,
+                         seg.payload_length, seg.segment_length, e, cfg.qm)
+        for r, e in enumerate(cfg.cb_lengths)
+    ]
+    codeword = jnp.concatenate(rm, axis=-1)              # [G]
+    seq = gold.gold_sequence(
+        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.nof_bits)
+    scrambled = codeword.astype(jnp.int8) ^ seq
+    syms = modulation.modulate(scrambled, cfg.qm)        # [n_re]
+    sym_idx, sc_idx = cfg.data_re_indices
+    grid = grid.at[..., jnp.asarray(sym_idx), jnp.asarray(sc_idx)].set(syms)
+    pilots = _dmrs_pilots(cfg)
+    grid = dmrs.map_onto_symbols(grid, pilots, cfg.dmrs_symbols,
+                                 cfg.dmrs_sc_indices)
+    return grid
+
+
+@dataclasses.dataclass
+class PuschResult:
+    tb_bits: jnp.ndarray
+    tb_crc_ok: jnp.ndarray
+    cb_crc_ok: jnp.ndarray
+    noise_var: jnp.ndarray
+    rsrp: jnp.ndarray
+    sinr_db: jnp.ndarray
+
+
+def pusch_receive(rx_grid: jnp.ndarray, cfg: ShConfig,
+                  nof_ldpc_iterations: int = 6) -> PuschResult:
+    """Receive one PUSCH allocation from [nrx, nsym, nsc] grid."""
+    if rx_grid.ndim == 2:
+        rx_grid = rx_grid[None]
+    nsym, nsc = rx_grid.shape[-2:]
+
+    # --- channel estimation from DM-RS
+    tx_pilots = _dmrs_pilots(cfg)
+    rx_pilots = dmrs.extract_from_symbols(rx_grid, cfg.dmrs_symbols,
+                                          cfg.dmrs_sc_indices)
+    est = estimator.estimate_port(rx_pilots, tx_pilots, cfg.dmrs_sc_indices,
+                                  nsc, nsym)
+
+    # --- equalize data REs
+    sym_idx, sc_idx = cfg.data_re_indices
+    si, ki = jnp.asarray(sym_idx), jnp.asarray(sc_idx)
+    y = rx_grid[..., si, ki]                              # [nrx, n_re]
+    h = est.h[..., si, ki]
+    noise_var = jnp.maximum(jnp.mean(est.noise_var), 1e-9)
+    x_hat, post_nv = equalizer.zf_1xn(y, h, noise_var)
+
+    # --- demap + descramble (sign flip on scrambled positions)
+    llr = modulation.demodulate_soft(x_hat, post_nv, cfg.qm)
+    seq = gold.gold_sequence(
+        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.nof_bits)
+    llr = llr * (1.0 - 2.0 * seq.astype(jnp.float32))
+    llr = jnp.clip(llr, -float(LLR_MAX), float(LLR_MAX))  # int8 LLR domain
+
+    # --- rate dematch + decode per codeblock
+    seg = cfg.segments
+    offs = np.concatenate([[0], np.cumsum(cfg.cb_lengths)])
+    full = jnp.stack([
+        rate_match.dematch(llr[offs[r]:offs[r + 1]], seg.base_graph,
+                           seg.lifting_size, cfg.rv, seg.payload_length,
+                           seg.segment_length, e, cfg.qm)
+        for r, e in enumerate(cfg.cb_lengths)
+    ])                                                    # [C, Nfull]
+    bits, ok = decoder.decode(full, seg.base_graph, seg.lifting_size,
+                              nof_iterations=nof_ldpc_iterations)
+    tb, tb_ok, cb_ok = segmentation.desegment_rx(bits, seg)
+    tb_ok = tb_ok & jnp.all(ok)
+
+    rsrp = jnp.mean(est.rsrp)  # combine rx ports
+    sinr = rsrp / noise_var
+    return PuschResult(
+        tb_bits=tb, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok & ok,
+        noise_var=noise_var, rsrp=rsrp,
+        sinr_db=10.0 * jnp.log10(jnp.maximum(sinr, 1e-12)))

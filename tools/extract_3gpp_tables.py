@@ -39,12 +39,14 @@ def _read(path: str) -> str:
     return text
 
 
-def _array_ints(text: str, name: str, count: int) -> np.ndarray:
+def _array_ints(text: str, name: str, count: int,
+                signed: bool = False) -> np.ndarray:
     """Pull `count` integer tokens (NO_EDGE allowed) following `name`."""
     m = re.search(re.escape(name) + r"\s*=?\s*\{", text)
     if not m:
         raise RuntimeError(f"table {name} not found")
-    tokens = re.findall(r"NO_EDGE|\d+", text[m.end():])
+    pattern = r"NO_EDGE|-?\d+" if signed else r"NO_EDGE|\d+"
+    tokens = re.findall(pattern, text[m.end():])
     vals = []
     for tok in tokens:
         vals.append(NO_EDGE if tok == "NO_EDGE" else int(tok))
@@ -52,7 +54,7 @@ def _array_ints(text: str, name: str, count: int) -> np.ndarray:
             break
     if len(vals) != count:
         raise RuntimeError(f"table {name}: wanted {count} ints, got {len(vals)}")
-    return np.asarray(vals, dtype=np.uint16)
+    return np.asarray(vals, dtype=np.int32 if signed else np.uint16)
 
 
 def main() -> None:
@@ -98,6 +100,22 @@ def main() -> None:
     basis = _array_ints(short_txt, "BASIS_SEQUENCES", 11 * 32).reshape(11, 32).astype(np.uint8)
     assert basis.max() <= 1
 
+    # Polar input-bit interleaver pattern Pi_IL^max, 164 entries
+    # (TS 38.212 Table 5.3.1.1-1).
+    il_txt = _read(f"{REF}/polar/polar_interleaver_impl.cpp")
+    polar_pi_il = _array_ints(il_txt, "polar_interleaver_impl::pattern", 164)
+    assert sorted(polar_pi_il.tolist()) == list(range(164))
+
+    # Low-PAPR phi tables for M_zc in {6,12,18,24}
+    # (TS 38.211 Tables 5.2.2.2-1..4), 30 groups each, values in [-3, 3].
+    lp_txt = _read("/root/reference/lib/phy/upper/sequence_generators/"
+                   "low_papr_sequence_generator_impl.cpp")
+    phi = {}
+    for msc in (6, 12, 18, 24):
+        t = _array_ints(lp_txt, f"phi_M_sc_{msc}", 30 * msc, signed=True)
+        phi[f"phi_{msc}"] = t.reshape(30, msc).astype(np.int8)
+        assert abs(phi[f"phi_{msc}"]).max() <= 3
+
     out = sys.argv[1] if len(sys.argv) > 1 else "srsran_project_23_5_tpu/data/tables_38212.npz"
     np.savez_compressed(
         out,
@@ -105,7 +123,9 @@ def main() -> None:
         ldpc_bg2=bg2,
         polar_q1024=polar_q1024,
         polar_pi32=polar_pi32.astype(np.uint8),
+        polar_pi_il=polar_pi_il.astype(np.uint8),
         short_block_basis=basis,
+        **phi,
     )
     print(f"wrote {out}: bg1 {bg1.shape}, bg2 {bg2.shape}, polar Q {polar_q1024.shape}")
 
