@@ -74,10 +74,17 @@ def detect(rx_freq: jnp.ndarray, root: int, length: int, n_cs: int,
     # sample (d - C_v)*scale mod D: window v starts at D - C_v*scale and
     # delay grows toward larger sample index.
     metrics, delays = [], []
+    # Trailing guard: interpolation sidelobes (~-13 dB, up to ~1.5 chips
+    # wide from the zero-padded IDFT) of a zero-delay peak in window v+1
+    # spill into the tail of window v; delays there are ≥ N_cs-2 chips
+    # (beyond the usable TA range) so exclude the last 2 chips.
+    guard = int(np.ceil(2 * scale))
     for v in range(n_sh):
         begin = (dft_size - int(round(v * n_cs * scale))) % dft_size
         width = int(round(win_chips * scale))
         width = min(width, dft_size)
+        if n_sh > 1:
+            width = max(width - guard, 1)
         win = jax.lax.dynamic_slice_in_dim(
             jnp.concatenate([pdp, pdp[..., :width]], axis=-1),
             begin, width, axis=-1)

@@ -1,0 +1,51 @@
+"""Channel precoding and layer mapping (TS 38.211 §7.3.1.3-4, §6.3.1.5).
+
+Counterpart of the reference's channel_precoder (generic + AVX2,
+lib/phy/upper/precoding/channel_precoder_avx2.cpp): RE × precoding-matrix
+products, batched over all REs — a natural einsum on TPU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def layer_map(symbols: jnp.ndarray, nof_layers: int) -> jnp.ndarray:
+    """Codeword symbols [..., M] → layers [..., nof_layers, M/nof_layers]
+    (TS 38.211 Table 7.3.1.3-1, single codeword up to 4 layers)."""
+    *lead, m = symbols.shape
+    assert m % nof_layers == 0
+    return (symbols.reshape(*lead, m // nof_layers, nof_layers)
+            .swapaxes(-1, -2))
+
+
+def layer_demap(layers: jnp.ndarray) -> jnp.ndarray:
+    *lead, v, mdiv = layers.shape
+    return layers.swapaxes(-1, -2).reshape(*lead, v * mdiv)
+
+
+def apply_precoding(layers: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """[..., nof_layers, n_re] × w[nof_ports, nof_layers] → [..., nof_ports, n_re]."""
+    return jnp.einsum("pl,...lr->...pr", w.astype(layers.dtype), layers)
+
+
+def identity_precoder(nof_ports: int, nof_layers: int) -> np.ndarray:
+    w = np.zeros((nof_ports, nof_layers), dtype=np.complex64)
+    for l in range(nof_layers):
+        w[l % nof_ports, l] = 1.0
+    return w
+
+
+def one_layer_codebook(nof_ports: int, pmi: int) -> np.ndarray:
+    """Single-layer type-I codebook column (TS 38.214 Table 5.2.2.2.1-5
+    style, 2-port exact; >2 ports DFT beam)."""
+    if nof_ports == 1:
+        return np.ones((1, 1), dtype=np.complex64)
+    if nof_ports == 2:
+        # W in {[1,1],[1,j],[1,-1],[1,-j]} / sqrt(2)
+        phase = [1, 1j, -1, -1j][pmi % 4]
+        return (np.array([[1.0], [phase]], dtype=np.complex64)
+                / np.sqrt(2.0))
+    n = np.arange(nof_ports)
+    return (np.exp(2j * np.pi * pmi * n / nof_ports)[:, None]
+            / np.sqrt(nof_ports)).astype(np.complex64)

@@ -1,0 +1,157 @@
+"""PDCCH processor: DCI encoding, QPSK mapping, DM-RS; and a receiver.
+
+Chain per TS 38.212 §7.3 / TS 38.211 §7.3.2 and the reference
+pdcch_encoder_impl.cpp:33-86, pdcch_modulator_impl.cpp:
+
+TX: DCI payload → CRC24C over (24 ones ‖ payload) → RNTI mask on the last
+16 CRC bits → input interleaver (I_IL=1) → polar encode (N ≤ 512) → rate
+match (E = 108·AL) → scramble → QPSK → CCE/REG mapping with DM-RS at
+k ≡ 1 (mod 4).
+
+RX (UE-side / loopback validation): the inverse with SC polar decoding and
+CRC/RNTI check — the blind-decode metric is the CRC pass.
+
+Non-interleaved CORESET CCE-to-REG mapping (6 consecutive REGs per CCE).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import dmrs as dmrs_ops
+from ...ops import gold, modulation
+from ...ops.polar import code as polar_code
+from ...ops.polar import decoder as polar_decoder
+from ...ops.polar import encoder as polar_encoder
+from ...ops.polar import rate_match as polar_rm
+from ...ops import crc as crc_ops
+from ...ran.constants import NRE
+
+
+@dataclasses.dataclass(frozen=True)
+class PdcchConfig:
+    rnti: int
+    payload_size: int            # DCI bits (A)
+    aggregation_level: int = 4   # 1/2/4/8/16 CCEs
+    cce_index: int = 0
+    coreset_start_prb: int = 0
+    start_symbol: int = 0
+    nof_symbols: int = 1         # CORESET duration (1..3)
+    n_id: int = 1                # pdcch-DMRS-ScramblingID / scrambling id
+    n_rnti: int = 0              # scrambling RNTI (C-RNTI UE-specific SS)
+
+    @property
+    def e(self) -> int:
+        # 1 CCE = 6 REGs = 6 PRBs(1 symbol); 9 data REs/REG, QPSK
+        return self.aggregation_level * 6 * 9 * 2
+
+    @property
+    def k(self) -> int:
+        return self.payload_size + 24
+
+    @functools.cached_property
+    def code(self) -> polar_code.PolarCode:
+        return polar_code.polar_code(self.k, self.e, nmax_log=9)
+
+    @property
+    def scrambling_cinit(self) -> int:
+        return ((self.n_rnti << 16) + self.n_id) % (1 << 31)
+
+    @functools.cached_property
+    def re_indices(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(data_sym, data_sc, dmrs_sym, dmrs_sc) for the candidate's REGs.
+
+        Non-interleaved mapping: REG r of the candidate occupies PRB
+        coreset_start + cce_index*6 + (r // nof_symbols) at symbol
+        start + (r % nof_symbols) — REG numbering is time-first
+        (TS 38.211 §7.3.2.2).
+        """
+        nregs = self.aggregation_level * 6
+        dsym, dsc, msym, msc = [], [], [], []
+        for r in range(nregs):
+            prb = self.coreset_start_prb + self.cce_index * 6 + r // self.nof_symbols
+            sym = self.start_symbol + r % self.nof_symbols
+            base = prb * NRE
+            ks = np.arange(base, base + NRE)
+            is_dmrs = (ks % 4) == 1
+            dsym.extend([sym] * int((~is_dmrs).sum()))
+            dsc.extend(ks[~is_dmrs])
+            msym.extend([sym] * int(is_dmrs.sum()))
+            msc.extend(ks[is_dmrs])
+        return (np.asarray(dsym, np.int32), np.asarray(dsc, np.int32),
+                np.asarray(msym, np.int32), np.asarray(msc, np.int32))
+
+
+def encode_dci(payload: jnp.ndarray, cfg: PdcchConfig) -> jnp.ndarray:
+    """DCI payload [A] → rate-matched bits [E] (pdcch_encoder_impl.cpp)."""
+    ones = jnp.ones((24,), dtype=payload.dtype)
+    crc = crc_ops.crc(jnp.concatenate([ones, payload])[None], "crc24C")[0]
+    rnti_bits = jnp.asarray(
+        [(cfg.rnti >> (15 - i)) & 1 for i in range(16)], dtype=crc.dtype)
+    crc = crc.at[8:].set(crc[8:] ^ rnti_bits)
+    c = jnp.concatenate([payload, crc])
+    pi = jnp.asarray(polar_code.input_interleaver(cfg.k))
+    c = c[pi]
+    u = polar_encoder.allocate(c[None], cfg.code.info_set, cfg.code.n)
+    x = polar_encoder.encode(u)
+    return polar_rm.match(x, cfg.code)[0]
+
+
+def pdcch_transmit(payload: jnp.ndarray, cfg: PdcchConfig,
+                   grid: jnp.ndarray) -> jnp.ndarray:
+    bits = encode_dci(payload, cfg)
+    seq = gold.gold_sequence(
+        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.e)
+    syms = modulation.modulate(bits ^ seq, 2)
+    dsym, dsc, msym, msc = cfg.re_indices
+    grid = grid.at[..., jnp.asarray(dsym), jnp.asarray(dsc)].set(syms)
+    # DM-RS: Gold-QPSK pilots per symbol, sequence indexed by absolute PRB
+    # (3 pilots per PRB, TS 38.211 §7.4.1.3).
+    nregs_per_sym = len(msc) // cfg.nof_symbols
+    for li in range(cfg.nof_symbols):
+        l = cfg.start_symbol + li
+        cinit = dmrs_ops.dmrs_cinit(0, l, cfg.n_id, 0)
+        sel = np.asarray(msym) == l
+        ks = np.asarray(msc)[sel]
+        m0 = 3 * (ks[0] // NRE)
+        npil = len(ks)
+        c = gold.gold_sequence(jnp.asarray(cinit, dtype=jnp.uint32),
+                               2 * npil, offset=2 * m0).astype(jnp.float32)
+        pil = ((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
+        grid = grid.at[..., l, jnp.asarray(ks)].set(pil.astype(jnp.complex64))
+    return grid
+
+
+@dataclasses.dataclass
+class PdcchResult:
+    payload: jnp.ndarray
+    crc_ok: jnp.ndarray
+
+
+def pdcch_receive(rx_grid: jnp.ndarray, cfg: PdcchConfig) -> PdcchResult:
+    """Equalization-free receive (assumes |h|≈const per REG is handled by
+    upstream estimation; loopback validation path)."""
+    dsym, dsc, _, _ = cfg.re_indices
+    y = rx_grid[..., jnp.asarray(dsym), jnp.asarray(dsc)]
+    nv = jnp.full(y.shape, 0.1, dtype=jnp.float32)
+    llr = modulation.demodulate_soft(y, nv, 2)
+    seq = gold.gold_sequence(
+        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.e)
+    llr = llr * (1.0 - 2.0 * seq.astype(jnp.float32))
+    cw_llr = polar_rm.dematch(llr, cfg.code)
+    u = polar_decoder.decode(cw_llr[None] if cw_llr.ndim == 1 else cw_llr,
+                             cfg.code)
+    c = polar_encoder.extract_message(u, cfg.code.info_set)[0]
+    pi = jnp.asarray(polar_code.input_interleaver(cfg.k))
+    de = jnp.zeros_like(c).at[pi].set(c)
+    payload, crc = de[:cfg.payload_size], de[cfg.payload_size:]
+    rnti_bits = jnp.asarray(
+        [(cfg.rnti >> (15 - i)) & 1 for i in range(16)], dtype=crc.dtype)
+    crc = crc.at[8:].set(crc[8:] ^ rnti_bits)
+    ones = jnp.ones((24,), dtype=payload.dtype)
+    expect = crc_ops.crc(jnp.concatenate([ones, payload])[None], "crc24C")[0]
+    ok = jnp.all(expect == crc)
+    return PdcchResult(payload=payload, crc_ok=ok)

@@ -21,8 +21,10 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ...ops import dmrs, equalizer, estimator, gold, modulation
-from ...ops.ldpc import decoder, encoder, rate_match, segmentation
+from ...ops.ldpc import decoder, decoder_pallas, encoder, rate_match, segmentation
 from ...ran import ldpc_params
 from ...ran.constants import LLR_MAX, NRE
 
@@ -141,9 +143,14 @@ class PuschResult:
     sinr_db: jnp.ndarray
 
 
-def pusch_receive(rx_grid: jnp.ndarray, cfg: ShConfig,
-                  nof_ldpc_iterations: int = 6) -> PuschResult:
-    """Receive one PUSCH allocation from [nrx, nsym, nsc] grid."""
+def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig
+                     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Front half of the PUSCH receiver: grid → per-codeblock LLRs.
+
+    Returns (llr_full [C, N_full*Zc], noise_var scalar, rsrp scalar) —
+    the HARQ softbuffer combines llr_full across retransmissions before
+    decoding (pusch_decode).
+    """
     if rx_grid.ndim == 2:
         rx_grid = rx_grid[None]
     nsym, nsc = rx_grid.shape[-2:]
@@ -170,7 +177,7 @@ def pusch_receive(rx_grid: jnp.ndarray, cfg: ShConfig,
     llr = llr * (1.0 - 2.0 * seq.astype(jnp.float32))
     llr = jnp.clip(llr, -float(LLR_MAX), float(LLR_MAX))  # int8 LLR domain
 
-    # --- rate dematch + decode per codeblock
+    # --- rate dematch (per-codeblock soft combining into circular buffers)
     seg = cfg.segments
     offs = np.concatenate([[0], np.cumsum(cfg.cb_lengths)])
     full = jnp.stack([
@@ -179,14 +186,42 @@ def pusch_receive(rx_grid: jnp.ndarray, cfg: ShConfig,
                            seg.segment_length, e, cfg.qm)
         for r, e in enumerate(cfg.cb_lengths)
     ])                                                    # [C, Nfull]
-    bits, ok = decoder.decode(full, seg.base_graph, seg.lifting_size,
-                              nof_iterations=nof_ldpc_iterations)
+    return full, noise_var, jnp.mean(est.rsrp)
+
+
+def pusch_decode(llr_full: jnp.ndarray, cfg: ShConfig,
+                 noise_var: jnp.ndarray, rsrp: jnp.ndarray,
+                 nof_ldpc_iterations: int = 6,
+                 decoder_backend: str = "auto") -> PuschResult:
+    """Back half: combined LLRs → decoded TB + CRC + CSI."""
+    seg = cfg.segments
+    if decoder_backend == "auto":
+        decoder_backend = ("pallas" if jax.default_backend() not in ("cpu",)
+                           else "xla")
+    if decoder_backend == "pallas":
+        bits, ok = decoder_pallas.decode(llr_full, seg.base_graph,
+                                         seg.lifting_size,
+                                         nof_iterations=nof_ldpc_iterations)
+    else:
+        bits, ok = decoder.decode(llr_full, seg.base_graph, seg.lifting_size,
+                                  nof_iterations=nof_ldpc_iterations)
     tb, tb_ok, cb_ok = segmentation.desegment_rx(bits, seg)
     tb_ok = tb_ok & jnp.all(ok)
-
-    rsrp = jnp.mean(est.rsrp)  # combine rx ports
     sinr = rsrp / noise_var
     return PuschResult(
         tb_bits=tb, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok & ok,
         noise_var=noise_var, rsrp=rsrp,
         sinr_db=10.0 * jnp.log10(jnp.maximum(sinr, 1e-12)))
+
+
+def pusch_receive(rx_grid: jnp.ndarray, cfg: ShConfig,
+                  nof_ldpc_iterations: int = 6,
+                  decoder_backend: str = "auto") -> PuschResult:
+    """Full PUSCH receiver (single transmission, no HARQ combining).
+
+    decoder_backend: "pallas" (TPU kernel), "xla", or "auto" (pallas on
+    TPU, xla elsewhere).
+    """
+    full, noise_var, rsrp = pusch_demodulate(rx_grid, cfg)
+    return pusch_decode(full, cfg, noise_var, rsrp, nof_ldpc_iterations,
+                        decoder_backend)

@@ -1,0 +1,117 @@
+"""Upper PHY orchestration: FAPI slot requests → grids → indications.
+
+Functional re-design of the reference's upper_phy_impl +
+downlink_processor_single_executor_impl + uplink_processor_impl
+(lib/phy/upper/upper_phy_impl.h:46-160): instead of executor pools
+serializing per-PDU tasks, each slot's PDUs are dispatched into jitted
+static-shape processors that XLA runs asynchronously; the host side only
+routes messages and owns the HARQ softbuffer pool.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...fapi import messages as fapi
+from . import pdcch as pdcch_proc
+from . import pucch as pucch_proc
+from . import sch, ssb as ssb_proc
+from ...ops import prach as prach_ops
+from .harq import SoftbufferPool
+
+
+@dataclasses.dataclass(frozen=True)
+class UpperPhyConfig:
+    nof_prb: int = 106
+    nof_rx_ports: int = 1
+    nof_tx_ports: int = 1
+    prach_detection_threshold: float = 16.0
+
+    @property
+    def nsc(self) -> int:
+        return self.nof_prb * 12
+
+
+class UpperPhy:
+    """One carrier's upper PHY: DL grid assembly + UL processing."""
+
+    def __init__(self, config: UpperPhyConfig) -> None:
+        self.config = config
+        self.softbuffers = SoftbufferPool()
+
+    # ------------------------------------------------------------- downlink
+    def process_dl_slot(self, req: fapi.DlTtiRequest,
+                        data: fapi.TxDataRequest | None = None
+                        ) -> jnp.ndarray:
+        """Build the slot's DL resource grid from FAPI PDUs
+        (fapi_to_phy_translator.cpp:234 + downlink_processor dispatch)."""
+        grid = jnp.zeros((14, self.config.nsc), dtype=jnp.complex64)
+        for pdu in req.ssb_pdus:
+            block = ssb_proc.ssb_assemble(
+                jnp.asarray(pdu.payload_bits, dtype=jnp.int8), pdu.config)
+            k0 = pdu.first_subcarrier
+            # SSB spans symbols 0..3 of its half-slot position; place at
+            # symbols 2..5 (case A first candidate) for simplicity.
+            grid = grid.at[2:6, k0:k0 + ssb_proc.SSB_NSC].set(block)
+        for pdu in req.pdcch_pdus:
+            grid = pdcch_proc.pdcch_transmit(
+                jnp.asarray(pdu.payload_bits, dtype=jnp.int8), pdu.config,
+                grid)
+        tbs = data.transport_blocks if data else []
+        for pdu, tb in zip(req.pdsch_pdus, tbs):
+            grid = sch.pdsch_transmit(jnp.asarray(tb, dtype=jnp.int8),
+                                      pdu.config, grid)
+        return grid
+
+    # --------------------------------------------------------------- uplink
+    def process_ul_slot(self, rx_grid: jnp.ndarray, req: fapi.UlTtiRequest,
+                        slot_count: int = 0,
+                        prach_rx: jnp.ndarray | None = None
+                        ) -> list[object]:
+        """Run the slot's UL PDUs; returns FAPI indications
+        (uplink_processor_impl.cpp:94-173)."""
+        out: list[object] = []
+        for pdu in req.pusch_pdus:
+            cfg = pdu.config
+            llr, nv, rsrp = sch.pusch_demodulate(rx_grid, cfg)
+            llr = self.softbuffers.combine(cfg.rnti, pdu.harq_process, llr,
+                                           pdu.new_data, slot_count)
+            res = sch.pusch_decode(llr, cfg, nv, rsrp)
+            ok = bool(res.tb_crc_ok)
+            if ok:
+                self.softbuffers.release(cfg.rnti, pdu.harq_process)
+                out.append(fapi.RxDataIndication(
+                    req.sfn, req.slot, cfg.rnti, pdu.harq_process,
+                    np.asarray(res.tb_bits)))
+            out.append(fapi.CrcIndication(
+                req.sfn, req.slot, cfg.rnti, pdu.harq_process, ok,
+                float(res.sinr_db)))
+        for pdu in req.pucch_pdus:
+            if pdu.format1 is not None:
+                r = pucch_proc.pucch_f1_detect(rx_grid, pdu.format1)
+                out.append(fapi.UciIndication(
+                    req.sfn, req.slot, 0, np.asarray(r.bits), None,
+                    bool(r.detected), float(r.detection_metric)))
+            if pdu.format2 is not None:
+                r2 = pucch_proc.pucch_f2_receive(rx_grid, pdu.format2)
+                out.append(fapi.UciIndication(
+                    req.sfn, req.slot, pdu.format2.rnti, None,
+                    np.asarray(r2.uci_bits), bool(r2.detected),
+                    float(r2.metric)))
+        for pdu in req.prach_pdus:
+            if prach_rx is None:
+                continue
+            metric, delay, _ = prach_ops.detect(
+                prach_rx, pdu.root_sequence_index, pdu.length,
+                pdu.zero_correlation_zone)
+            m = np.asarray(metric)[0]
+            d = np.asarray(delay)[0]
+            hits = [(int(i), float(m[i]), float(d[i]))
+                    for i in np.nonzero(
+                        m > self.config.prach_detection_threshold)[0]]
+            out.append(fapi.RachIndication(req.sfn, req.slot, pdu.occasion,
+                                           hits))
+        self.softbuffers.run_slot(slot_count)
+        return out
