@@ -16,6 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Persistent compiled-program cache (FFTW-wisdom analogue): repeat bench
+# invocations skip the multi-minute XLA compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_ran_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main() -> None:
     from srsran_project_23_5_tpu.models import gnb_flagship
@@ -37,10 +42,12 @@ def main() -> None:
     slot_samples = numerology.slot_num_samples(cfg.mu, cfg.nfft)
     snr_db = 30.0
     sigma = 10 ** (-snr_db / 20) * np.sqrt(cfg.nsc) / np.sqrt(cfg.nfft)
-    noise = jnp.asarray(
-        (sigma / np.sqrt(2) * (rng.standard_normal(slot_samples)
-                               + 1j * rng.standard_normal(slot_samples))
-         ).astype(np.complex64))
+    # complex64 host->device transfer is UNIMPLEMENTED on this backend:
+    # ship two float32 planes, build the complex noise on device.
+    noise_re = (sigma / np.sqrt(2)
+                * rng.standard_normal(slot_samples)).astype(np.float32)
+    noise_im = (sigma / np.sqrt(2)
+                * rng.standard_normal(slot_samples)).astype(np.float32)
 
     iters = int(os.environ.get("BENCH_LDPC_ITERS", "6"))
 
@@ -52,39 +59,67 @@ def main() -> None:
     from srsran_project_23_5_tpu.phy.lower import ofdm
 
     tb = jax.device_put(tb)
-    noise = jax.device_put(noise)
+    nz_re = jax.device_put(jnp.asarray(noise_re))
+    nz_im = jax.device_put(jnp.asarray(noise_im))
 
-    # Device-time measurement: chain REPS slots inside one program so the
-    # tunnel round-trip (ms-scale, jittery) amortizes away, and fetch a
-    # scalar (the only reliably-synchronizing operation on this backend).
-    # The noise is scaled by the loop index (tiny perturbation) to defeat
-    # loop-invariant hoisting; a slot only counts if its TB CRC passes.
-    # (A dynamic jnp.roll of complex data hangs this TPU backend.)
+    # Device-time measurement: issue REPS async slot dispatches and fetch
+    # one scalar at the end.  The device executes the in-order queue
+    # back-to-back, so total/REPS amortizes the tunnel round-trip away.
+    # (Control-flow-wrapped loops — lax.fori_loop over the slot body —
+    # hit UNIMPLEMENTED / hangs on this experimental backend.)
     reps = int(os.environ.get("BENCH_REPS", "20"))
 
-    @jax.jit
-    def many(tb_bits, nz):
-        def body(i, acc):
-            bb = gnb_flagship.tx_slot(tb_bits, cfg)
-            wiggle = 1.0 + 1e-5 * i.astype(jnp.float32)
-            grid = ofdm.demodulate_slot(bb + nz * wiggle, cfg.nsc,
-                                        cfg.mu, cfg.nfft)
-            r = sch.pusch_receive(grid[None], cfg.sh, iters)
-            return acc + r.tb_crc_ok.astype(jnp.int32), r.sinr_db
-        acc, sinr = jax.lax.fori_loop(
-            0, reps, lambda i, c: body(i, c[0]),
-            (jnp.int32(0), jnp.float32(0)))
-        return acc, sinr
+    tx = jax.jit(lambda t: gnb_flagship.tx_slot(t, cfg))
+    rx_demod = jax.jit(
+        lambda b, nr, ni, w: ofdm.demodulate_slot(
+            b + jax.lax.complex(nr, ni) * w, cfg.nsc, cfg.mu, cfg.nfft))
+    stage = os.environ.get("BENCH_STAGE", "fused")
+    if stage == "fused":
+        # ONE program per slot: host->tunnel dispatch RTT (~2 ms each on
+        # this backend) dominates multi-dispatch pipelines.
+        @jax.jit
+        def fused_step(t, nr, ni, w):
+            bb = gnb_flagship.tx_slot(t, cfg)
+            grid = ofdm.demodulate_slot(bb + jax.lax.complex(nr, ni) * w,
+                                        cfg.nsc, cfg.mu, cfg.nfft)
+            return sch.pusch_receive(grid[None], cfg.sh, iters).tb_crc_ok
+    else:
+        fused_step = None
+    if stage == "nodecode":
+        rx = jax.jit(lambda g: (lambda t: (t[1] + t[2] + jnp.sum(t[0])) > -1)(
+            sch.pusch_demodulate(g[None], cfg.sh)))
+    elif stage == "txonly":
+        rx = jax.jit(lambda g: jnp.abs(g).sum() > -1.0)
+    else:
+        rx = jax.jit(lambda g: sch.pusch_receive(
+            g[None], cfg.sh, iters).tb_crc_ok)
 
+    def step(w):
+        if fused_step is not None:
+            return fused_step(tb, nz_re, nz_im, w)
+        bb = tx(tb)
+        grid = rx_demod(bb, nz_re, nz_im, w)
+        return rx(grid)
+
+    # compile + correctness
     t0 = time.perf_counter()
-    n_ok, sinr = many(tb, noise)
-    n_ok_v = int(n_ok)
+    ok0 = step(jnp.float32(1.0))
+    assert bool(ok0), "loopback decode failed in benchmark"
     compile_s = time.perf_counter() - t0
-    assert n_ok_v == reps, f"only {n_ok_v}/{reps} slots decoded"
+    sinr = -1.0
+
+    wiggles = [jnp.float32(1.0 + 1e-5 * i) for i in range(reps)]
+    bool(step(wiggles[0]))  # warm steady-state path
+
+    add = jax.jit(lambda a, b: a & b)
     t0 = time.perf_counter()
-    n_ok, sinr = many(tb, noise)
-    n_ok_v = int(n_ok)
+    acc = None
+    for w in wiggles:
+        ok = step(w)
+        acc = ok if acc is None else add(acc, ok)
+    all_ok = bool(acc)  # single sync drains the in-order queue
     total = time.perf_counter() - t0
+    assert all_ok, "some slots failed to decode"
     lat_us = float(total / reps * 1e6)
 
     print(json.dumps({

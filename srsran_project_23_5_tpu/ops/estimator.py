@@ -25,6 +25,52 @@ class ChannelEstimate:
     rsrp: jnp.ndarray         # [...] |avg channel|^2 power
 
 
+@dataclasses.dataclass
+class CombChannelEstimate:
+    """Estimate over a contiguous comb-2 allocation (structured layout —
+    no gathers): h_alloc covers the allocation's subcarriers only."""
+    h_alloc: jnp.ndarray      # [..., nsc_alloc] complex64
+    noise_var: jnp.ndarray
+    epre: jnp.ndarray
+    rsrp: jnp.ndarray
+
+
+def estimate_comb2(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray,
+                   delta: int = 0) -> CombChannelEstimate:
+    """LS + average + structured linear interpolation for comb-2 pilots on
+    a contiguous allocation (the PUSCH/PDSCH DM-RS type-1 case).
+
+    rx_pilots: [..., ndmrs_sym, npilot]; pilots sit at allocation-relative
+    subcarriers 2k + delta.  Entirely slice/concat ops — TPU-fast.
+    """
+    lse = rx_pilots * jnp.conj(tx_pilots) / (jnp.abs(tx_pilots) ** 2)
+    ndmrs = lse.shape[-2]
+    p = jnp.mean(lse, axis=-2)                             # [..., npilot]
+    if ndmrs > 1:
+        resid = lse - p[..., None, :]
+        noise_var = (jnp.mean(jnp.abs(resid) ** 2, axis=(-1, -2))
+                     * ndmrs / (ndmrs - 1))
+    else:
+        diff = lse[..., 0, 1:] - lse[..., 0, :-1]
+        noise_var = 0.5 * jnp.mean(jnp.abs(diff) ** 2, axis=-1)
+    epre = jnp.mean(jnp.abs(rx_pilots) ** 2, axis=(-1, -2))
+    rsrp = jnp.mean(jnp.abs(p) ** 2, axis=-1)
+
+    # midpoints between pilots; linear extrapolation at the far edge
+    p_next = jnp.concatenate(
+        [p[..., 1:], 2 * p[..., -1:] - p[..., -2:-1]], axis=-1)
+    mid = 0.5 * (p + p_next)
+    if delta == 0:
+        pair = jnp.stack([p, mid], axis=-1)
+    else:
+        p_prev = jnp.concatenate(
+            [2 * p[..., :1] - p[..., 1:2], p[..., :-1]], axis=-1)
+        pair = jnp.stack([0.5 * (p + p_prev), p], axis=-1)
+    h_alloc = pair.reshape(*p.shape[:-1], 2 * p.shape[-1])
+    return CombChannelEstimate(h_alloc=h_alloc, noise_var=noise_var,
+                               epre=epre, rsrp=rsrp)
+
+
 def estimate_port(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray,
                   sc_idx: np.ndarray, nsc: int, nsym: int,
                   comb_stride: int = 2) -> ChannelEstimate:

@@ -70,25 +70,53 @@ def match(codeword: jnp.ndarray, base_graph: int, lifting_size: int, rv: int,
     return interleave(selected, qm)
 
 
+@functools.lru_cache(maxsize=1024)
+def inverse_selection_maps(base_graph: int, lifting_size: int, rv: int,
+                           payload_length: int, segment_length: int,
+                           e: int) -> tuple[np.ndarray, ...]:
+    """Per-wrap inverse maps: inv_r[i] = j of the r-th transmission of
+    buffer bit i (or e, pointing at a zero pad slot).
+
+    Turns the dematcher's scatter-add into a handful of gathers — TPU
+    scatters serialize, gathers vectorize.
+    """
+    n = (66 if base_graph == 1 else 50) * lifting_size
+    idx = selection_indices(base_graph, lifting_size, rv, payload_length,
+                            segment_length, e)
+    hits = np.zeros(n, dtype=np.int32)
+    for i in idx:
+        hits[i] += 1
+    wraps = int(hits.max()) if len(idx) else 0
+    inv = [np.full(n, e, dtype=np.int32) for _ in range(wraps)]
+    count = np.zeros(n, dtype=np.int32)
+    for j, i in enumerate(idx):
+        inv[count[i]][i] = j
+        count[i] += 1
+    return tuple(inv)
+
+
 def dematch(llr: jnp.ndarray, base_graph: int, lifting_size: int, rv: int,
             payload_length: int, segment_length: int, e: int, qm: int,
             llr_infty: float = float(LLR_INFTY)) -> jnp.ndarray:
     """Rate-matched LLRs [..., E] → full-codeword LLRs [..., N_full*Zc].
 
-    Repeated transmissions of the same buffer bit are soft-combined by the
-    scatter-add.  Punctured systematic LLRs are 0; filler positions are
-    pinned to +llr_infty (bit surely 0).
+    Repeated transmissions of the same buffer bit are soft-combined.
+    Punctured systematic LLRs are 0; filler positions are pinned to
+    +llr_infty (bit surely 0).
     """
     z = lifting_size
-    n = (66 if base_graph == 1 else 50) * z
-    idx = selection_indices(base_graph, lifting_size, rv, payload_length,
-                            segment_length, e)
     de = deinterleave(llr, qm)
     *lead, _ = llr.shape
-    buffer = jnp.zeros((*lead, n), dtype=de.dtype)
-    buffer = buffer.at[..., jnp.asarray(idx)].add(de)
+    de_pad = jnp.concatenate(
+        [de, jnp.zeros((*lead, 1), dtype=de.dtype)], axis=-1)
+    invs = inverse_selection_maps(base_graph, lifting_size, rv,
+                                  payload_length, segment_length, e)
+    buffer = de_pad[..., jnp.asarray(invs[0])]
+    for inv in invs[1:]:
+        buffer = buffer + de_pad[..., jnp.asarray(inv)]
     f_begin = payload_length - 2 * z
     f_end = segment_length - 2 * z
+    n = (66 if base_graph == 1 else 50) * z
     pos = jnp.arange(n)
     filler = (pos >= f_begin) & (pos < f_end)
     buffer = jnp.where(filler, jnp.asarray(llr_infty, de.dtype), buffer)

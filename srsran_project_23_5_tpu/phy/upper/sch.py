@@ -24,7 +24,8 @@ import numpy as np
 import jax
 
 from ...ops import dmrs, equalizer, estimator, gold, modulation
-from ...ops.ldpc import decoder, decoder_pallas, encoder, rate_match, segmentation
+from ...ops.ldpc import (decoder, decoder_pallas, encoder, encoder_pallas,
+                         rate_match, segmentation)
 from ...ran import ldpc_params
 from ...ran.constants import LLR_MAX, NRE
 
@@ -101,6 +102,27 @@ class ShConfig:
     def dmrs_sc_indices(self) -> np.ndarray:
         return dmrs.type1_sc_indices(self.prb_start, self.nof_prb, delta=0)
 
+    @functools.cached_property
+    def symbol_plan(self) -> list[tuple[int, str]]:
+        """(symbol, kind) in mapping order; kind ∈ {full, comb_data, dmrs}.
+
+        The contiguous type-1 allocation lets every symbol be one slice of
+        the grid — scatter/gather-free mapping (TPU-structured).
+        """
+        plan = []
+        for l in range(self.first_symbol, self.first_symbol + self.nof_symbols):
+            if l in self.dmrs_symbols:
+                kind = ("comb_data"
+                        if self.dmrs_cdm_groups_without_data < 2 else "dmrs")
+            else:
+                kind = "full"
+            plan.append((l, kind))
+        return plan
+
+    @property
+    def sc_bounds(self) -> tuple[int, int]:
+        return self.prb_start * NRE, (self.prb_start + self.nof_prb) * NRE
+
 
 def _dmrs_pilots(cfg: ShConfig) -> jnp.ndarray:
     """[ndmrs_sym, 6*nof_prb] pilot values."""
@@ -110,11 +132,18 @@ def _dmrs_pilots(cfg: ShConfig) -> jnp.ndarray:
 
 
 def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
-                   grid: jnp.ndarray) -> jnp.ndarray:
+                   grid: jnp.ndarray,
+                   encoder_backend: str = "auto") -> jnp.ndarray:
     """Process one transport block onto a [nsym, nsc] (or [port, ...]) grid."""
     seg = cfg.segments
     cbs = segmentation.segment_tx(tb_bits, seg)          # [C, K]
-    cw = encoder.encode(cbs, seg.base_graph, seg.lifting_size)
+    if encoder_backend == "auto":
+        encoder_backend = ("pallas" if jax.default_backend() not in ("cpu",)
+                           else "xla")
+    if encoder_backend == "pallas":
+        cw = encoder_pallas.encode(cbs, seg.base_graph, seg.lifting_size)
+    else:
+        cw = encoder.encode(cbs, seg.base_graph, seg.lifting_size)
     rm = [
         rate_match.match(cw[r], seg.base_graph, seg.lifting_size, cfg.rv,
                          seg.payload_length, seg.segment_length, e, cfg.qm)
@@ -125,11 +154,27 @@ def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
         jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.nof_bits)
     scrambled = codeword.astype(jnp.int8) ^ seq
     syms = modulation.modulate(scrambled, cfg.qm)        # [n_re]
-    sym_idx, sc_idx = cfg.data_re_indices
-    grid = grid.at[..., jnp.asarray(sym_idx), jnp.asarray(sc_idx)].set(syms)
-    pilots = _dmrs_pilots(cfg)
-    grid = dmrs.map_onto_symbols(grid, pilots, cfg.dmrs_symbols,
-                                 cfg.dmrs_sc_indices)
+
+    # Structured slice-based RE mapping (no scatters): each symbol of the
+    # contiguous allocation is one row write; DM-RS symbols interleave the
+    # comb-2 pilots with data (CDM-1) or zeros (CDM-2).
+    lo, hi = cfg.sc_bounds
+    width = hi - lo
+    pilots = _dmrs_pilots(cfg)                           # [ndmrs, width/2]
+    dmrs_i = {l: i for i, l in enumerate(cfg.dmrs_symbols)}
+    pos = 0
+    for l, kind in cfg.symbol_plan:
+        if kind == "full":
+            row = syms[pos:pos + width]
+            pos += width
+        elif kind == "comb_data":
+            chunk = syms[pos:pos + width // 2]
+            pos += width // 2
+            row = jnp.stack([pilots[dmrs_i[l]], chunk], axis=-1).reshape(-1)
+        else:  # dmrs only
+            zero = jnp.zeros_like(pilots[dmrs_i[l]])
+            row = jnp.stack([pilots[dmrs_i[l]], zero], axis=-1).reshape(-1)
+        grid = grid.at[..., l, lo:hi].set(row)
     return grid
 
 
@@ -141,6 +186,22 @@ class PuschResult:
     noise_var: jnp.ndarray
     rsrp: jnp.ndarray
     sinr_db: jnp.ndarray
+    evm: jnp.ndarray | None = None
+
+
+def evm_calculate(x_hat: jnp.ndarray, qm: int) -> jnp.ndarray:
+    """RMS error-vector magnitude against the nearest constellation point
+    (reference: evm_calculator_generic_impl.cpp — hard symbol reconstruct
+    then RMS error)."""
+    levels = jnp.asarray(modulation.pam_levels(qm)) if qm > 2 else \
+        jnp.asarray(np.array([1, -1], np.float32) / np.sqrt(2.0))
+
+    def nearest(axis_vals):
+        d = jnp.abs(axis_vals[..., None] - levels)
+        return levels[jnp.argmin(d, axis=-1)]
+
+    hard = nearest(x_hat.real) + 1j * nearest(x_hat.imag)
+    return jnp.sqrt(jnp.mean(jnp.abs(x_hat - hard) ** 2))
 
 
 def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig
@@ -153,20 +214,27 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig
     """
     if rx_grid.ndim == 2:
         rx_grid = rx_grid[None]
-    nsym, nsc = rx_grid.shape[-2:]
 
-    # --- channel estimation from DM-RS
+    # --- channel estimation from DM-RS (structured comb-2: slices only)
+    lo, hi = cfg.sc_bounds
     tx_pilots = _dmrs_pilots(cfg)
-    rx_pilots = dmrs.extract_from_symbols(rx_grid, cfg.dmrs_symbols,
-                                          cfg.dmrs_sc_indices)
-    est = estimator.estimate_port(rx_pilots, tx_pilots, cfg.dmrs_sc_indices,
-                                  nsc, nsym)
+    rx_pilots = jnp.stack(
+        [rx_grid[..., l, lo:hi][..., 0::2] for l in cfg.dmrs_symbols],
+        axis=-2)                                          # [nrx, ndmrs, npil]
+    est = estimator.estimate_comb2(rx_pilots, tx_pilots)
 
-    # --- equalize data REs
-    sym_idx, sc_idx = cfg.data_re_indices
-    si, ki = jnp.asarray(sym_idx), jnp.asarray(sc_idx)
-    y = rx_grid[..., si, ki]                              # [nrx, n_re]
-    h = est.h[..., si, ki]
+    # --- extract + equalize data REs, symbol rows in mapping order
+    y_rows, h_rows = [], []
+    for l, kind in cfg.symbol_plan:
+        row = rx_grid[..., l, lo:hi]
+        if kind == "full":
+            y_rows.append(row)
+            h_rows.append(est.h_alloc)
+        elif kind == "comb_data":
+            y_rows.append(row[..., 1::2])
+            h_rows.append(est.h_alloc[..., 1::2])
+    y = jnp.concatenate(y_rows, axis=-1)                  # [nrx, n_re]
+    h = jnp.concatenate(h_rows, axis=-1)
     noise_var = jnp.maximum(jnp.mean(est.noise_var), 1e-9)
     x_hat, post_nv = equalizer.zf_1xn(y, h, noise_var)
 

@@ -43,3 +43,17 @@ def test_pallas_pads_nonmultiple_batch():
     assert bits.shape == (3, k) and ok.shape == (3,)
     assert np.asarray(ok).all()
     assert np.array_equal(np.asarray(bits), msg)
+
+
+@pytest.mark.parametrize("bg,zc", [(1, 32), (2, 24)])
+def test_pallas_encoder_matches_xla(bg, zc):
+    from srsran_project_23_5_tpu.ops.ldpc import encoder_pallas
+    rng = np.random.default_rng(2)
+    g = graphs.lifted_graph(bg, zc)
+    k = g.nof_msg_blocks * zc
+    msg = rng.integers(0, 2, size=(5, k)).astype(np.int8)  # non-multiple of 8
+    ref = np.asarray(encoder.encode(jnp.asarray(msg), bg, zc))
+    got = np.asarray(encoder_pallas.encode(jnp.asarray(msg), bg, zc,
+                                           interpret=True))
+    assert got.shape == ref.shape
+    assert np.array_equal(got, ref)

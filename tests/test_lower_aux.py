@@ -1,0 +1,105 @@
+"""Lower-PHY engine, amplitude control, PRACH demod, tracing, benchmarker."""
+import json
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from srsran_project_23_5_tpu.ops import prach as prach_ops
+from srsran_project_23_5_tpu.phy.lower import amplitude, lower_phy, prach_demod
+from srsran_project_23_5_tpu.phy.upper import sch
+from srsran_project_23_5_tpu.utils import benchmark, tracing
+
+
+def test_lower_phy_loopback_slots():
+    rng = np.random.default_rng(0)
+    cfg = lower_phy.LowerPhyConfig(mu=1, nfft=256, nof_prb=12)
+    phy = lower_phy.LowerPhy(cfg, lower_phy.LoopbackRadio())
+    grid = jnp.asarray((rng.standard_normal((14, 144))
+                        + 1j * rng.standard_normal((14, 144))).astype(np.complex64))
+    out0 = phy.run_slot(grid)          # slot 0: tx queued, nothing to rx yet? (queue len 1 -> rx immediately)
+    assert out0 is not None
+    assert np.allclose(np.asarray(out0), np.asarray(grid), atol=1e-3)
+    assert phy.slot.count() == 1
+
+
+def test_lower_phy_channel_applies():
+    cfg = lower_phy.LowerPhyConfig(mu=1, nfft=256, nof_prb=12)
+    radio = lower_phy.LoopbackRadio(channel=lambda x: 0.5 * x)
+    phy = lower_phy.LowerPhy(cfg, radio)
+    grid = jnp.ones((14, 144), dtype=jnp.complex64)
+    out = phy.run_slot(grid)
+    assert np.allclose(np.asarray(out), 0.5, atol=1e-3)
+
+
+def test_full_stack_through_lower_phy():
+    """PDSCH through the lower-PHY/radio loopback and back up."""
+    rng = np.random.default_rng(1)
+    shc = sch.ShConfig(rnti=0x55, tbs=1608, qm=2, nof_prb=24,
+                       dmrs_symbols=(2, 7, 11))
+    cfg = lower_phy.LowerPhyConfig(mu=1, nfft=512, nof_prb=24)
+    sigma = 0.02
+
+    def channel(x):
+        n = sigma / np.sqrt(2) * (rng.standard_normal(x.shape)
+                                  + 1j * rng.standard_normal(x.shape))
+        return x + jnp.asarray(n.astype(np.complex64))
+
+    phy = lower_phy.LowerPhy(cfg, lower_phy.LoopbackRadio(channel))
+    tb = rng.integers(0, 2, shc.tbs).astype(np.int8)
+    grid = sch.pdsch_transmit(jnp.asarray(tb), shc,
+                              jnp.zeros((14, 288), jnp.complex64))
+    ul_grid = phy.run_slot(grid)
+    res = sch.pusch_receive(ul_grid[None], shc, nof_ldpc_iterations=8)
+    assert bool(res.tb_crc_ok)
+    assert np.array_equal(np.asarray(res.tb_bits), tb)
+
+
+def test_amplitude_control_stats():
+    x = jnp.asarray(np.array([1.0, 2.0, 0.5]).astype(np.complex64))
+    y, stats = amplitude.control(x, gain_db=6.0206)
+    assert np.allclose(np.abs(np.asarray(y)), [2.0, 4.0, 1.0], rtol=1e-3)
+    y2, st2 = amplitude.control(x, enable_clipping=True, ceiling_dbfs=0.0)
+    assert np.abs(np.asarray(y2)).max() <= 1.0 + 1e-6
+    assert abs(float(st2.clipped_ratio) - 1 / 3) < 1e-6  # only |2.0| clips
+
+
+def test_prach_demod_to_detect():
+    """Time-domain PRACH window → demod → detector finds the preamble."""
+    rng = np.random.default_rng(2)
+    length, n_cs, root, v = 139, 0, 3, 0
+    freq = prach_ops.generate(root, v, length, n_cs)
+    prach_fft = 256
+    cp = 32
+    # synthesize baseband: place preamble bins at offset 8, IFFT
+    bins = np.zeros(prach_fft, dtype=np.complex64)
+    k0 = 8
+    bins[(np.arange(length) + k0) % prach_fft] = freq
+    body = np.fft.ifft(bins) * prach_fft
+    bb = np.concatenate([body[-cp:], body]).astype(np.complex64)
+    bb += 0.01 * (rng.standard_normal(len(bb)) + 1j * rng.standard_normal(len(bb)))
+    out = prach_demod.demodulate(jnp.asarray(bb)[None], prach_fft, length,
+                                 k0, cp)
+    metric, delay, _ = prach_ops.detect(out, root, length, n_cs)
+    assert float(np.asarray(metric).max()) > 50.0
+
+
+def test_tracer_writes_chrome_trace(tmp_path):
+    tracing.tracer.enabled = True
+    with tracing.tracer.span("slot", "test"):
+        pass
+    tracing.tracer.instant("marker")
+    p = tmp_path / "trace.json"
+    tracing.tracer.write(str(p))
+    data = json.loads(p.read_text())
+    names = [e["name"] for e in data["traceEvents"]]
+    assert "slot" in names and "marker" in names
+    tracing.tracer.enabled = False
+    tracing.tracer.clear()
+
+
+def test_benchmarker_percentiles():
+    b = benchmark.Benchmarker("t")
+    m = b.run("noop", lambda: None, reps=5, warmup=1, units_per_call=1e6)
+    assert m.median_us >= 0.0
+    assert "p50" in b.report()
