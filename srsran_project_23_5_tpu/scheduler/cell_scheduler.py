@@ -1,0 +1,316 @@
+"""Cell scheduler: the per-slot scheduling pipeline (reference
+lib/scheduler/cell_scheduler.cpp:83-137 and ue_scheduling/).
+
+run_slot(slot) executes SSB → SIB1 → PRACH → RA → UE DL (retx first,
+then round-robin new transmissions) → UE UL, allocating PRBs first-fit
+on a per-slot bitmap and returning a SlotResult for the MAC to turn into
+FAPI messages.
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional
+
+from ..ran import mcs_tables, tbs as tbs_mod
+from .config import CellConfig
+from .harq import HarqState
+from .results import DlGrant, PucchGrant, RarInfo, SlotResult, UlGrant
+from .ue_context import UeContext
+
+SI_RNTI = 0xFFFF
+MAX_CONSECUTIVE_KO = 100      # RLF threshold (reference rlf_detector.h)
+
+
+class _PrbAllocator:
+    def __init__(self, nof_prb: int, reserved_edge: int = 0) -> None:
+        self.nof_prb = nof_prb
+        self.next_free = reserved_edge
+        self.limit = nof_prb - reserved_edge
+
+    def alloc(self, nof: int) -> Optional[tuple[int, int]]:
+        nof = min(nof, self.limit - self.next_free)
+        if nof <= 0:
+            return None
+        start = self.next_free
+        self.next_free += nof
+        return (start, nof)
+
+
+class CellScheduler:
+    def __init__(self, cfg: CellConfig) -> None:
+        self.cfg = cfg
+        self.ues: dict[int, UeContext] = {}
+        self._rr_dl = 0                     # round-robin cursors
+        self._rr_ul = 0
+        self._pending_ul: dict[int, list[UlGrant]] = {}
+        self._pending_pucch: dict[int, list[PucchGrant]] = {}
+        self._pending_rach: deque = deque() # (slot, occasion, preamble, ta)
+        self._next_tc_rnti = 0x4601
+        self.rlf_ues: list[int] = []        # RNTIs that hit RLF
+
+    # ----------------------------------------------------------- UE mgmt
+    def add_ue(self, rnti: int) -> UeContext:
+        ue = UeContext.create(rnti, self.cfg.nof_harqs, self.cfg.max_dl_retx)
+        self.ues[rnti] = ue
+        return ue
+
+    def remove_ue(self, rnti: int) -> None:
+        self.ues.pop(rnti, None)
+
+    # ----------------------------------------------------- event handlers
+    def handle_rach_indication(self, slot: int, occasion: int,
+                               preamble: int, ta: int = 0) -> None:
+        self._pending_rach.append((slot, occasion, preamble, ta))
+
+    def handle_dl_buffer_state(self, rnti: int, lcid: int,
+                               nof_bytes: int) -> None:
+        if rnti in self.ues:
+            self.ues[rnti].update_dl_buffer(lcid, nof_bytes)
+
+    def handle_bsr(self, rnti: int, nof_bytes: int) -> None:
+        if rnti in self.ues:
+            self.ues[rnti].ul_buffer_bytes = nof_bytes
+
+    def handle_crc_indication(self, rnti: int, harq_pid: int,
+                              ok: bool) -> None:
+        """PUSCH decode outcome → UL HARQ."""
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        p = ue.ul_harqs.processes[harq_pid]
+        dropped = p.handle_ack(ok)
+        if ok:
+            ue.ul_nof_ok += 1
+            ue.ul_ko_streak = 0
+            ue.ul_buffer_bytes = max(0, ue.ul_buffer_bytes - p.tbs_bytes)
+        else:
+            ue.ul_nof_ko += 1
+            ue.ul_ko_streak += 1
+            if ue.ul_ko_streak >= MAX_CONSECUTIVE_KO:
+                self._declare_rlf(rnti)
+        del dropped
+
+    def handle_harq_ack(self, rnti: int, harq_pid: int, ack: bool) -> None:
+        """PUCCH/UCI HARQ-ACK → DL HARQ."""
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        p = ue.dl_harqs.processes[harq_pid]
+        p.handle_ack(ack)
+        if ack:
+            ue.dl_nof_ok += 1
+            ue.dl_ko_streak = 0
+        else:
+            ue.dl_nof_ko += 1
+            ue.dl_ko_streak += 1
+            if ue.dl_ko_streak >= MAX_CONSECUTIVE_KO:
+                self._declare_rlf(rnti)
+
+    def _declare_rlf(self, rnti: int) -> None:
+        if rnti not in self.rlf_ues:
+            self.rlf_ues.append(rnti)
+
+    # -------------------------------------------------------- TBS helpers
+    def _dl_tbs_bytes(self, mcs: int, nof_prb: int) -> tuple[int, int, float]:
+        qm, r = mcs_tables.mcs_to_qm_rate(mcs, self.cfg.mcs_table)
+        bits = tbs_mod.tbs_calculate(self.cfg.pdsch_symbols,
+                                     self.cfg.dl_dmrs_per_prb, 0, r, qm, 1,
+                                     nof_prb)
+        return bits // 8, qm, r
+
+    def _ul_tbs_bytes(self, mcs: int, nof_prb: int) -> tuple[int, int, float]:
+        qm, r = mcs_tables.mcs_to_qm_rate(mcs, self.cfg.mcs_table)
+        bits = tbs_mod.tbs_calculate(self.cfg.pusch_symbols,
+                                     self.cfg.ul_dmrs_per_prb, 0, r, qm, 1,
+                                     nof_prb)
+        return bits // 8, qm, r
+
+    def _prbs_for_bytes(self, nof_bytes: int, mcs: int, dl: bool) -> int:
+        fn = self._dl_tbs_bytes if dl else self._ul_tbs_bytes
+        lo, hi = 1, self.cfg.nof_prb
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if fn(mcs, mid)[0] >= nof_bytes:
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    # ------------------------------------------------------------- pipeline
+    def run_slot(self, slot: int) -> SlotResult:
+        res = SlotResult(slot)
+        for ue in self.ues.values():
+            ue.dl_harqs.handle_timeouts(slot)
+            ue.ul_harqs.handle_timeouts(slot)
+        # deferred allocations landing in this slot
+        res.ul_grants.extend(self._pending_ul.pop(slot, []))
+        res.pucch.extend(self._pending_pucch.pop(slot, []))
+
+        dl_ok = self.cfg.is_dl_slot(slot)
+        ul_ok = self.cfg.is_ul_slot(slot)
+        dl_alloc = _PrbAllocator(self.cfg.nof_prb)
+        used_ul = sum(g.prb_len for g in res.ul_grants)
+        ul_alloc = _PrbAllocator(self.cfg.nof_prb, self.cfg.pucch_prbs)
+        ul_alloc.next_free += used_ul
+
+        if dl_ok:
+            # 1. SSB
+            if slot % self.cfg.ssb_period_slots == 0:
+                res.ssb = True
+            # 2. SIB1
+            if slot % self.cfg.sib1_period_slots == 2:
+                prbs = dl_alloc.alloc(4)
+                if prbs:
+                    tbs, qm, r = self._dl_tbs_bytes(5, prbs[1])
+                    res.sib1 = DlGrant(SI_RNTI, 0, prbs[0], prbs[1], 5, qm,
+                                       r, tbs, 0, False, 0, is_sib=True)
+            # 4. RA: serve pending RACH with RAR + Msg3 grant
+            self._schedule_ra(slot, res, dl_alloc)
+            # 6a. UE DL
+            self._schedule_ue_dl(slot, res, dl_alloc)
+        # 3. PRACH occasion marker
+        if ul_ok and slot % self.cfg.prach_period_slots == \
+                self.cfg.prach_slot_offset % self.cfg.prach_period_slots:
+            res.prach_occasion = True
+        # 6b. UE UL (DCI now, PUSCH at slot+k2)
+        if dl_ok:
+            self._schedule_ue_ul(slot, res)
+        return res
+
+    # --------------------------------------------------------------- RA
+    def _schedule_ra(self, slot: int, res: SlotResult,
+                     dl_alloc: _PrbAllocator) -> None:
+        while self._pending_rach:
+            rach_slot, occasion, preamble, ta = self._pending_rach[0]
+            if slot - rach_slot > self.cfg.ra_window_slots:
+                self._pending_rach.popleft()       # window expired
+                continue
+            prbs = dl_alloc.alloc(2)
+            if prbs is None:
+                return
+            self._pending_rach.popleft()
+            tc_rnti = self._next_tc_rnti
+            self._next_tc_rnti += 1
+            ra_rnti = 1 + occasion
+            msg3_slot = self._next_ul_slot(slot + self.cfg.k2)
+            msg3_prbs = 2
+            tbs, qm, r = self._ul_tbs_bytes(2, msg3_prbs)
+            ue = self.add_ue(tc_rnti)
+            p = ue.ul_harqs.processes[0]
+            msg3 = UlGrant(tc_rnti, 0, self.cfg.pucch_prbs, msg3_prbs, 2,
+                           qm, r, tbs, 0, True, is_msg3=True)
+            p.new_tx(tbs, 2, (msg3.prb_start, msg3_prbs), msg3_slot)
+            self._pending_ul.setdefault(msg3_slot, []).append(msg3)
+            rar_tbs, qm_r, r_r = self._dl_tbs_bytes(2, prbs[1])
+            res.rars.append(RarInfo(ra_rnti, preamble, tc_rnti, ta,
+                                    msg3_slot, msg3))
+            res.dl_grants.append(DlGrant(ra_rnti, 0, prbs[0], prbs[1], 2,
+                                         qm_r, r_r, rar_tbs, 0, False, 0,
+                                         is_rar=True))
+
+    def _next_ul_slot(self, slot: int) -> int:
+        for _ in range(self.cfg.slots_per_frame):
+            if self.cfg.is_ul_slot(slot):
+                return slot
+            slot += 1
+        return slot
+
+    def _next_dl_slot(self, slot: int) -> int:
+        for _ in range(self.cfg.slots_per_frame):
+            if self.cfg.is_dl_slot(slot):
+                return slot
+            slot += 1
+        return slot
+
+    # ------------------------------------------------------------- UE DL
+    def _schedule_ue_dl(self, slot: int, res: SlotResult,
+                        alloc: _PrbAllocator) -> None:
+        rntis = sorted(self.ues)
+        if not rntis:
+            return
+        order = rntis[self._rr_dl % len(rntis):] + \
+            rntis[: self._rr_dl % len(rntis)]
+        self._rr_dl += 1
+        for rnti in order:
+            ue = self.ues[rnti]
+            # retransmissions first (same PRB count, rv cycling)
+            p = ue.dl_harqs.find_pending_retx()
+            if p is not None:
+                prbs = alloc.alloc(p.prbs[1])
+                if prbs is None:
+                    continue
+                ack_slot = self._next_ul_slot(slot + self.cfg.k1)
+                p.new_retx(ack_slot)
+                qm, r = mcs_tables.mcs_to_qm_rate(p.mcs, self.cfg.mcs_table)
+                res.dl_grants.append(DlGrant(
+                    rnti, p.pid, prbs[0], prbs[1], p.mcs, qm, r,
+                    p.tbs_bytes, p.rv, p.ndi, self.cfg.k1))
+                self._reserve_pucch(rnti, ack_slot)
+                continue
+            demand = ue.total_dl_buffer()
+            if demand == 0 and not ue.pending_conres:
+                continue
+            p = ue.dl_harqs.find_empty()
+            if p is None:
+                continue
+            mcs = self.cfg.fixed_dl_mcs
+            want = self._prbs_for_bytes(max(demand + 8, 16), mcs, dl=True)
+            if self.cfg.max_prb_per_ue:
+                want = min(want, self.cfg.max_prb_per_ue)
+            prbs = alloc.alloc(want)
+            if prbs is None:
+                continue
+            tbs, qm, r = self._dl_tbs_bytes(mcs, prbs[1])
+            ack_slot = self._next_ul_slot(slot + self.cfg.k1)
+            p.new_tx(tbs, mcs, prbs, ack_slot)
+            res.dl_grants.append(DlGrant(
+                rnti, p.pid, prbs[0], prbs[1], mcs, qm, r, tbs, 0, p.ndi,
+                self.cfg.k1, is_conres=ue.pending_conres))
+            ue.dl_bytes += tbs
+            self._reserve_pucch(rnti, ack_slot)
+
+    def _reserve_pucch(self, rnti: int, ack_slot: int) -> None:
+        lst = self._pending_pucch.setdefault(ack_slot, [])
+        prb = len(lst) % max(1, self.cfg.pucch_prbs)
+        lst.append(PucchGrant(rnti, prb, format=1))
+
+    # ------------------------------------------------------------- UE UL
+    def _schedule_ue_ul(self, slot: int, res: SlotResult) -> None:
+        rntis = sorted(self.ues)
+        if not rntis:
+            return
+        pusch_slot = self._next_ul_slot(slot + self.cfg.k2)
+        pending = self._pending_ul.setdefault(pusch_slot, [])
+        alloc = _PrbAllocator(self.cfg.nof_prb, self.cfg.pucch_prbs)
+        alloc.next_free += sum(g.prb_len for g in pending)
+        order = rntis[self._rr_ul % len(rntis):] + \
+            rntis[: self._rr_ul % len(rntis)]
+        self._rr_ul += 1
+        for rnti in order:
+            ue = self.ues[rnti]
+            p = ue.ul_harqs.find_pending_retx()
+            if p is not None:
+                prbs = alloc.alloc(p.prbs[1])
+                if prbs is None:
+                    continue
+                p.new_retx(pusch_slot)
+                qm, r = mcs_tables.mcs_to_qm_rate(p.mcs, self.cfg.mcs_table)
+                pending.append(UlGrant(rnti, p.pid, prbs[0], prbs[1], p.mcs,
+                                       qm, r, p.tbs_bytes, p.rv, p.ndi))
+                continue
+            if ue.ul_buffer_bytes <= 0:
+                continue
+            p = ue.ul_harqs.find_empty()
+            if p is None:
+                continue
+            mcs = self.cfg.fixed_ul_mcs
+            want = self._prbs_for_bytes(ue.ul_buffer_bytes + 8, mcs,
+                                        dl=False)
+            prbs = alloc.alloc(want)
+            if prbs is None:
+                continue
+            tbs, qm, r = self._ul_tbs_bytes(mcs, prbs[1])
+            p.new_tx(tbs, mcs, prbs, pusch_slot)
+            pending.append(UlGrant(rnti, p.pid, prbs[0], prbs[1], mcs, qm,
+                                   r, tbs, 0, p.ndi))
+            ue.ul_bytes += tbs

@@ -1,0 +1,69 @@
+"""Scheduler slot output structures (reference
+include/srsran/scheduler/scheduler_slot_handler.h sched_result)."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class DlGrant:
+    rnti: int
+    harq_pid: int
+    prb_start: int
+    prb_len: int
+    mcs: int
+    qm: int
+    rate: float
+    tbs_bytes: int
+    rv: int
+    ndi: bool
+    k1: int                       # HARQ-ACK delay
+    is_rar: bool = False
+    is_sib: bool = False
+    is_conres: bool = False
+
+
+@dataclasses.dataclass
+class UlGrant:
+    rnti: int
+    harq_pid: int
+    prb_start: int
+    prb_len: int
+    mcs: int
+    qm: int
+    rate: float
+    tbs_bytes: int
+    rv: int
+    ndi: bool
+    is_msg3: bool = False
+
+
+@dataclasses.dataclass
+class PucchGrant:
+    rnti: int
+    prb: int
+    format: int                   # 1 = HARQ-ACK, 2 = CSI/UCI
+    nof_harq_bits: int = 1
+
+
+@dataclasses.dataclass
+class RarInfo:
+    ra_rnti: int
+    rapid: int
+    tc_rnti: int
+    ta: int
+    msg3_slot: int
+    msg3_grant: "UlGrant"
+
+
+@dataclasses.dataclass
+class SlotResult:
+    slot: int
+    ssb: bool = False
+    sib1: Optional[DlGrant] = None
+    prach_occasion: bool = False
+    rars: list[RarInfo] = dataclasses.field(default_factory=list)
+    dl_grants: list[DlGrant] = dataclasses.field(default_factory=list)
+    ul_grants: list[UlGrant] = dataclasses.field(default_factory=list)
+    pucch: list[PucchGrant] = dataclasses.field(default_factory=list)
