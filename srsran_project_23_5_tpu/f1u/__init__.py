@@ -63,3 +63,23 @@ def create_local_connector() -> tuple[F1uBearer, F1uBearer]:
     cu, du = F1uBearer(), F1uBearer()
     cu.connect(du)
     return cu, du
+
+
+class LocalF1uBroker:
+    """Pairs the CU-UP and DU ends of each (cu_ue_id, drb_id) bearer when
+    the two sides are co-located (the reference's
+    lib/f1u/local_connector factory)."""
+
+    def __init__(self) -> None:
+        self._pairs: dict[tuple[int, int], tuple[F1uBearer, F1uBearer]] = {}
+
+    def _pair(self, key: tuple[int, int]) -> tuple[F1uBearer, F1uBearer]:
+        if key not in self._pairs:
+            self._pairs[key] = create_local_connector()
+        return self._pairs[key]
+
+    def cu_side(self, cu_ue_id: int, drb_id: int) -> F1uBearer:
+        return self._pair((cu_ue_id, drb_id))[0]
+
+    def du_side(self, cu_ue_id: int, drb_id: int) -> F1uBearer:
+        return self._pair((cu_ue_id, drb_id))[1]

@@ -31,9 +31,11 @@ MIN_LC_LCID, MAX_LC_LCID = 1, 32
 # fixed CE sizes in bytes (0 = variable/has L field)
 _FIXED_CE_SIZE_DL = {LCID_DL_CON_RES: 6, LCID_DL_TA_CMD: 1, LCID_DL_DRX: 0,
                      LCID_PADDING: -1}
+# Deviation from TS 38.321: UL CCCH is variable-length here (gets an L
+# field) because the framework's RRC containers are not 48/64-bit fixed.
 _FIXED_CE_SIZE_UL = {LCID_C_RNTI: 2, LCID_SHORT_BSR: 1,
                      LCID_SHORT_TRUNC_BSR: 1, LCID_SE_PHR: 2,
-                     LCID_UL_CCCH: 8, LCID_UL_CCCH48: 6, LCID_PADDING: -1}
+                     LCID_PADDING: -1}
 
 
 @dataclasses.dataclass

@@ -193,7 +193,8 @@ class CellScheduler:
             self._next_tc_rnti += 1
             ra_rnti = 1 + occasion
             msg3_slot = self._next_ul_slot(slot + self.cfg.k2)
-            msg3_prbs = 2
+            # Msg3 must fit the CCCH RRC container (~64 B here)
+            msg3_prbs = self._prbs_for_bytes(64, 2, dl=False)
             tbs, qm, r = self._ul_tbs_bytes(2, msg3_prbs)
             ue = self.add_ue(tc_rnti)
             p = ue.ul_harqs.processes[0]
