@@ -1,0 +1,120 @@
+"""FAPI adaptors (reference lib/fapi_adaptor): MAC ↔ FAPI ↔ PHY glue.
+
+- MacToFapiTranslator: MacSlotOutput (scheduler result + MAC PDUs) →
+  DL_TTI.request + TX_Data.request + UL_TTI.request
+  (mac_to_fapi_translator.cpp:60-143).
+- FapiToMacTranslator: upper-PHY indications (CRC/RxData/UCI/RACH) →
+  MAC handlers (fapi_to_mac_data_msg_translator.cpp).
+
+Each scheduler grant maps to one static ShConfig so each distinct
+(prbs, qm, tbs) shape compiles once (fapi_to_phy_translator.cpp:234's
+PDU→processor-config resolution, TPU-style).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..fapi import messages as fapi
+from ..mac import MacCellProcessor, MacSlotOutput
+from ..phy.upper.pucch import PucchF1Config
+from ..phy.upper.sch import ShConfig
+from ..scheduler import CellConfig
+from ..scheduler.results import DlGrant, UlGrant
+
+
+def _bits(data: bytes, nof_bits: int) -> np.ndarray:
+    return np.unpackbits(np.frombuffer(bytes(data), dtype=np.uint8)
+                         )[:nof_bits].astype(np.int8)
+
+
+def _bytes(bits: np.ndarray) -> bytes:
+    return np.packbits(np.asarray(bits, dtype=np.uint8)).tobytes()
+
+
+class MacToFapiTranslator:
+    def __init__(self, cell: CellConfig, dmrs_symbols=(2, 7, 11)) -> None:
+        self.cell = cell
+        self.dmrs_symbols = tuple(dmrs_symbols)
+
+    def _sh_config(self, g, slot: int, is_dl: bool) -> ShConfig:
+        return ShConfig(
+            rnti=g.rnti, tbs=g.tbs_bytes * 8, qm=g.qm, rv=g.rv,
+            prb_start=g.prb_start, nof_prb=g.prb_len,
+            dmrs_symbols=self.dmrs_symbols, nid=self.cell.pci,
+            nid_dmrs=self.cell.pci,
+            slot_in_frame=slot % self.cell.slots_per_frame)
+
+    def translate(self, out: MacSlotOutput, sfn: int, slot: int
+                  ) -> tuple[fapi.DlTtiRequest, fapi.TxDataRequest,
+                             fapi.UlTtiRequest]:
+        res = out.result
+        dl = fapi.DlTtiRequest(sfn, slot)
+        tx = fapi.TxDataRequest(sfn, slot)
+        ul = fapi.UlTtiRequest(sfn, slot)
+        for g in res.dl_grants:
+            tb: Optional[bytes] = None
+            if g.is_rar:
+                tb = out.rar_pdus.get(g.rnti)
+            elif g.is_sib:
+                tb = out.sib1_pdu
+            else:
+                tb = out.dl_pdus.get((g.rnti, g.harq_pid))
+            if tb is None:
+                continue
+            cfg = self._sh_config(g, slot, True)
+            dl.pdsch_pdus.append(fapi.PdschPdu(cfg))
+            tx.transport_blocks.append(_bits(tb.ljust(g.tbs_bytes, b"\x00"),
+                                             cfg.tbs))
+        if res.sib1 is not None and out.sib1_pdu is not None:
+            cfg = self._sh_config(res.sib1, slot, True)
+            dl.pdsch_pdus.append(fapi.PdschPdu(cfg))
+            tx.transport_blocks.append(_bits(out.sib1_pdu, cfg.tbs))
+        for g in res.ul_grants:
+            ul.pusch_pdus.append(fapi.PuschPdu(
+                self._sh_config(g, slot, False), harq_process=g.harq_pid,
+                new_data=(g.rv == 0)))
+        for p in res.pucch:
+            ul.pucch_pdus.append(fapi.PucchPdu(format1=PucchF1Config(
+                prb=p.prb, nof_harq_bits=p.nof_harq_bits,
+                slot_in_frame=slot % self.cell.slots_per_frame)))
+        if res.prach_occasion:
+            ul.prach_pdus.append(fapi.PrachPdu(root_sequence_index=1,
+                                               length=839,
+                                               zero_correlation_zone=13))
+        return dl, tx, ul
+
+
+class FapiToMacTranslator:
+    """Routes uplink indications into the MAC (fapi_to_mac_*)."""
+
+    def __init__(self, mac: MacCellProcessor) -> None:
+        self.mac = mac
+        # HARQ-ACK context: which (rnti, harq) a PUCCH slot acknowledges
+        self._ack_ctx: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def register_ack_context(self, sfn: int, slot: int,
+                             entries: list[tuple[int, int]]) -> None:
+        self._ack_ctx[(sfn, slot)] = entries
+
+    def handle_indications(self, indications: list) -> None:
+        for ind in indications:
+            if isinstance(ind, fapi.CrcIndication):
+                self.mac.handle_crc_indication(ind.rnti, ind.harq_process,
+                                               ind.tb_crc_ok)
+            elif isinstance(ind, fapi.RxDataIndication):
+                nof_bytes = len(ind.payload) // 8
+                self.mac.handle_rx_pdu(
+                    ind.rnti, _bytes(ind.payload[: nof_bytes * 8]))
+            elif isinstance(ind, fapi.UciIndication):
+                ctx = self._ack_ctx.pop((ind.sfn, ind.slot), [])
+                ack = bool(ind.detected) and (
+                    ind.harq_bits is None or bool(np.all(ind.harq_bits)))
+                for rnti, harq in ctx:
+                    self.mac.handle_harq_ack(rnti, harq, ack)
+            elif isinstance(ind, fapi.RachIndication):
+                for idx, _metric, delay in ind.preambles:
+                    self.mac.handle_rach_indication(
+                        ind.slot, ind.occasion, idx, int(delay))

@@ -134,7 +134,14 @@ class CellScheduler:
                 hi = mid
             else:
                 lo = mid + 1
-        return lo
+        return self._bucket(lo)
+
+    def _bucket(self, nof_prb: int) -> int:
+        """Round up to the nearest compiled-shape bucket."""
+        for b in self.cfg.prb_buckets:
+            if b >= nof_prb and b <= self.cfg.nof_prb:
+                return b
+        return min(nof_prb, self.cfg.nof_prb)
 
     # ------------------------------------------------------------- pipeline
     def run_slot(self, slot: int) -> SlotResult:

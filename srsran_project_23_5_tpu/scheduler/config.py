@@ -46,6 +46,10 @@ class CellConfig:
     dl_dmrs_per_prb: int = 12            # DM-RS REs/PRB (1 symbol, type 1)
     ul_dmrs_per_prb: int = 12
     pucch_prbs: int = 2                  # PRBs reserved at band edges
+    # Allocation sizes are rounded up to these buckets so every grant maps
+    # to one of a few compiled PHY shapes (SURVEY §7: bucketing+padding
+    # replaces the reference's dynamic per-PDU dispatch).
+    prb_buckets: tuple = (2, 4, 8, 16, 32, 64, 106, 162, 273)
 
     @property
     def slots_per_frame(self) -> int:

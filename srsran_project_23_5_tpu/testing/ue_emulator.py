@@ -95,40 +95,46 @@ class UeEmulator:
         for ug in res.ul_grants:
             if ug.rnti != self.rnti:
                 continue
-            if ug.is_msg3:
-                wire = mac_pdu.encode_pdu(
-                    [mac_pdu.SubPdu(mac_pdu.LCID_UL_CCCH,
-                                    self._msg3 or self.build_msg3())],
-                    ug.tbs_bytes, uplink=True)
-            else:
-                subs = []
-                budget = ug.tbs_bytes - 4
-                for lcid, ent in [(1, self.srb1)] + sorted(
-                        self.drb_rlc.items()):
-                    while budget > 3 and ent.buffer_state() > 0:
-                        sdu = ent.pull_pdu(budget - 3)
-                        if not sdu:
-                            break
-                        subs.append(mac_pdu.SubPdu(lcid, sdu))
-                        budget -= len(sdu) + 3
-                subs.append(mac_pdu.ce_short_bsr(0, self._ul_buffer()))
-                wire = mac_pdu.encode_pdu(subs, ug.tbs_bytes, uplink=True)
+            wire = self.build_ul_pdu(ug)
             mac.handle_rx_pdu(ug.rnti, wire)
             mac.handle_crc_indication(ug.rnti, ug.harq_pid, True)
         for (rnti, pid), wire in out.dl_pdus.items():
             if rnti != self.rnti:
                 continue
-            for sp in mac_pdu.decode_pdu(wire):
-                if sp.lcid == mac_pdu.LCID_DL_CON_RES:
-                    self.conres_ok = True
-                elif sp.lcid == 1:
-                    self.srb1.handle_pdu(sp.payload)
-                elif sp.lcid in self.drb_rlc:
-                    self.drb_rlc[sp.lcid].handle_pdu(sp.payload)
+            self.consume_dl_pdu(wire)
             mac.handle_harq_ack(rnti, pid, True)
         # keep the gNB aware of pending UL data (standing BSR)
         if self.rnti is not None and self._ul_buffer():
             mac.scheduler.handle_bsr(self.rnti, self._ul_buffer())
+
+    def build_ul_pdu(self, ug) -> bytes:
+        """Assemble the UL-SCH MAC PDU for a grant (the app's PHY loop
+        transmits this through PUSCH; step() short-circuits it)."""
+        if ug.is_msg3:
+            return mac_pdu.encode_pdu(
+                [mac_pdu.SubPdu(mac_pdu.LCID_UL_CCCH,
+                                self._msg3 or self.build_msg3())],
+                ug.tbs_bytes, uplink=True)
+        subs = []
+        budget = ug.tbs_bytes - 4
+        for lcid, ent in [(1, self.srb1)] + sorted(self.drb_rlc.items()):
+            while budget > 3 and ent.buffer_state() > 0:
+                sdu = ent.pull_pdu(budget - 3)
+                if not sdu:
+                    break
+                subs.append(mac_pdu.SubPdu(lcid, sdu))
+                budget -= len(sdu) + 3
+        subs.append(mac_pdu.ce_short_bsr(0, self._ul_buffer()))
+        return mac_pdu.encode_pdu(subs, ug.tbs_bytes, uplink=True)
+
+    def consume_dl_pdu(self, wire: bytes) -> None:
+        for sp in mac_pdu.decode_pdu(wire):
+            if sp.lcid == mac_pdu.LCID_DL_CON_RES:
+                self.conres_ok = True
+            elif sp.lcid == 1:
+                self.srb1.handle_pdu(sp.payload)
+            elif sp.lcid in self.drb_rlc:
+                self.drb_rlc[sp.lcid].handle_pdu(sp.payload)
 
     def _ul_buffer(self) -> int:
         n = self.srb1.buffer_state()

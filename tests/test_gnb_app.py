@@ -1,0 +1,94 @@
+"""gnb application tests: config validation, MAC-level slot loop, E2
+agent, FAPI adaptor translation (the app-level counterpart of the
+reference's du_high_benchmark / gnb config validator tests)."""
+import numpy as np
+import pytest
+
+from srsran_project_23_5_tpu import e2, rrc
+from srsran_project_23_5_tpu.apps.gnb import Gnb, GnbConfig
+from srsran_project_23_5_tpu.fapi_adaptor import (FapiToMacTranslator,
+                                                  MacToFapiTranslator)
+from srsran_project_23_5_tpu.fapi import messages as fapi
+from srsran_project_23_5_tpu.mac import MacCellProcessor
+from srsran_project_23_5_tpu.scheduler import CellConfig
+from srsran_project_23_5_tpu import rlc
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        GnbConfig.from_dict({"cell": {"pci": 5000}})
+    with pytest.raises(ValueError):
+        GnbConfig.from_dict({"cell": {"nof_prb": 5}})
+    with pytest.raises(ValueError):
+        GnbConfig.from_dict({"phy": "quantum"})
+    with pytest.raises(ValueError):
+        GnbConfig.from_dict({"cell": {"tdd": {"period": 5, "nof_dl": 4,
+                                              "nof_ul": 3}}})
+    cfg = GnbConfig.from_dict({"cell": {"nof_prb": 106}})
+    assert cfg.cell_config().nof_prb == 106
+
+
+def test_gnb_app_mac_level_run():
+    cfg = GnbConfig(slots=250, phy="none", ue_dl_packets=4,
+                    ue_ul_packets=4)
+    gnb = Gnb(cfg)
+    rep = gnb.run()
+    assert rep["ng_setup"] and rep["f1_setup"] and rep["e2_setup"]
+    assert rep["ue_rrc_state"] == rrc.RrcUeState.ACTIVE
+    assert rep["ue_dl_rx_packets"] == 4
+    assert rep["core_ul_rx_packets"] == 4
+    assert rep["e2_indications"] >= 1
+    # KPM report carries the UE's counters
+    assert any(str(rep["ue_rnti"]) in ind for ind in gnb.ric.indications)
+
+
+def test_fapi_translation_roundtrip():
+    cell = CellConfig(nof_prb=52)
+    mac = MacCellProcessor(cell)
+    bearer = rlc.RlcUmTx()
+    mac.add_ue(0x4601, {4: bearer})
+    bearer.handle_sdu(b"q" * 300)
+    out = mac.handle_slot_indication(1)
+    tr = MacToFapiTranslator(cell)
+    dl, tx, ul = tr.translate(out, sfn=0, slot=1)
+    assert len(dl.pdsch_pdus) == len(tx.transport_blocks) == 1
+    cfg = dl.pdsch_pdus[0].config
+    g = out.result.dl_grants[0]
+    assert cfg.tbs == g.tbs_bytes * 8 and cfg.qm == g.qm
+    assert cfg.nof_prb == g.prb_len and cfg.prb_start == g.prb_start
+    assert tx.transport_blocks[0].shape[0] == cfg.tbs
+    # the packed TB round-trips to the MAC PDU bytes
+    from srsran_project_23_5_tpu.fapi_adaptor import _bytes
+    assert _bytes(tx.transport_blocks[0]) == out.dl_pdus[(0x4601, g.harq_pid)]
+
+
+def test_fapi_to_mac_indication_routing():
+    cell = CellConfig()
+    mac = MacCellProcessor(cell)
+    mac.add_ue(0x4601, {})
+    tr = FapiToMacTranslator(mac)
+    tr.handle_indications([
+        fapi.CrcIndication(0, 1, 0x4601, 3, True, 25.0),
+        fapi.RachIndication(0, 5, 0, [(7, 30.0, 2.0)]),
+    ])
+    assert mac.scheduler._pending_rach
+    tr.register_ack_context(0, 8, [(0x4601, 3)])
+    from srsran_project_23_5_tpu.scheduler.harq import HarqState
+    ue = mac.scheduler.ues[0x4601]
+    ue.dl_harqs.processes[3].new_tx(100, 10, (0, 4), 8)
+    tr.handle_indications([fapi.UciIndication(
+        0, 8, 0x4601, np.array([1]), None, True, 30.0)])
+    assert ue.dl_harqs.processes[3].state == HarqState.EMPTY
+
+
+def test_e2_agent_subscription_flow():
+    class _Sched:
+        ues = {}
+    ric_msgs = []
+    agent = e2.E2Agent(lambda m: ric.handle_message(m), _Sched())
+    ric = e2.RicStub(lambda m: agent.handle_message(m))
+    agent.start()
+    assert agent.setup_done and agent._subs
+    _Sched.ues = {}
+    agent.on_slot(50)
+    assert ric.indications == [{}]

@@ -1,0 +1,150 @@
+"""OFH fronthaul + RU + radio tests (reference
+tests/unittests/ofh/{compression,ecpri,serdes} style)."""
+import numpy as np
+import pytest
+
+from srsran_project_23_5_tpu import radio as radio_mod
+from srsran_project_23_5_tpu.ofh import (OfhSector, OfhSectorConfig,
+                                         compression, ecpri, ethernet,
+                                         serdes)
+from srsran_project_23_5_tpu.ru import RuConfig, RuGeneric, RuOfh
+
+
+def _rand_iq(nof_prb, seed=0, scale=0.5):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((nof_prb, 12))
+            + 1j * rng.standard_normal((nof_prb, 12))
+            ).astype(np.complex64) * scale / np.sqrt(2)
+
+
+# -------------------------------------------------------------- compression
+@pytest.mark.parametrize("width", [9, 12, 14])
+def test_bfp_roundtrip_snr(width):
+    iq = _rand_iq(24)
+    wire = compression.compress_prbs(iq, width)
+    assert len(wire) == 24 * compression.compressed_prb_size(width)
+    back = compression.decompress_prbs(wire, 24, width)
+    err = np.abs(back - iq) ** 2
+    snr_db = 10 * np.log10(np.mean(np.abs(iq) ** 2) / np.mean(err))
+    # each extra mantissa bit ≈ 6 dB; width 9 must exceed 40 dB
+    assert snr_db > 40 + 6 * (width - 9), snr_db
+
+
+def test_none_compression_is_16bit_exact():
+    iq = _rand_iq(8)
+    back = compression.decompress_prbs(
+        compression.compress_prbs(iq, 16), 8, 16)
+    assert np.max(np.abs(back - iq)) < 1.0 / 32767
+
+
+# ------------------------------------------------------------------- serdes
+def test_ecpri_roundtrip():
+    h, payload = ecpri.decode(ecpri.encode(
+        ecpri.EcpriHeader(ecpri.MSG_TYPE_IQ_DATA, 0x12, 7), b"abc"))
+    assert (h.msg_type, h.pc_id, h.seq_id, payload) == (0, 0x12, 7, b"abc")
+
+
+def test_vlan_roundtrip():
+    p = ethernet.VlanFrameParams(b"\x01" * 6, b"\x02" * 6, vlan_id=5, pcp=3)
+    back, payload = ethernet.decode(ethernet.encode(p, b"ecpri-bytes"))
+    assert back.vlan_id == 5 and back.pcp == 3 and payload == b"ecpri-bytes"
+
+
+def test_uplane_roundtrip():
+    iq = _rand_iq(16)
+    msg = serdes.UplaneMessage(
+        serdes.TimingHeader(serdes.DIR_UL, 37, 5, 1, 9), 3, 32, 16, iq)
+    back = serdes.uplane_decode(serdes.uplane_encode(msg))
+    t = back.timing
+    assert (t.frame, t.subframe, t.slot, t.symbol) == (37, 5, 1, 9)
+    assert (back.section_id, back.start_prb, back.nof_prb) == (3, 32, 16)
+    snr = (np.mean(np.abs(iq) ** 2)
+           / np.mean(np.abs(back.iq - iq) ** 2))
+    assert 10 * np.log10(snr) > 40
+
+
+def test_cplane_roundtrip():
+    s = serdes.CplaneSection(
+        serdes.TimingHeader(serdes.DIR_DL, 2, 3, 1, 0), 1, 0, 106, 14)
+    back = serdes.cplane_decode(serdes.cplane_encode(s))
+    assert (back.start_prb, back.nof_prb, back.nof_symbols) == (0, 106, 14)
+
+
+# ------------------------------------------------------------------ sector
+def test_ofh_sector_slot_roundtrip():
+    frames = []
+    tx_sector = OfhSector(OfhSectorConfig(nof_prb=24), frames.append)
+    rx_sector = OfhSector(OfhSectorConfig(nof_prb=24), lambda f: None)
+    got = {}
+    rx_sector.on_ul_slot = lambda key, grid: got.update({key: grid})
+    rng = np.random.default_rng(3)
+    grid = (rng.standard_normal((14, 24 * 12))
+            + 1j * rng.standard_normal((14, 24 * 12))
+            ).astype(np.complex64) * 0.2
+    tx_sector.transmit_dl_slot(7, 2, 1, grid)
+    assert tx_sector.tx_frames == 15          # 1 C-plane + 14 U-plane
+    for f in frames:
+        rx_sector.handle_rx_frame(f)
+    assert (7, 2, 1) in got
+    back = got[(7, 2, 1)]
+    snr = np.mean(np.abs(grid) ** 2) / np.mean(np.abs(back - grid) ** 2)
+    assert 10 * np.log10(snr) > 40
+
+
+def test_ofh_sector_drops_garbage():
+    sector = OfhSector(OfhSectorConfig(nof_prb=24), lambda f: None)
+    sector.handle_rx_frame(b"\x00" * 10)
+    assert sector.rx_dropped == 1
+
+
+# ---------------------------------------------------------------------- RU
+def test_ru_generic_ofdm_loopback():
+    cfg = RuConfig(nof_prb=24, mu=1)
+    ru = RuGeneric(cfg, radio_mod.create_radio("loopback"))
+    got = {}
+    ru.on_ul_grid = lambda ctx, grid: got.update({ctx: grid})
+    rng = np.random.default_rng(5)
+    import jax.numpy as jnp
+    grid = jnp.asarray((rng.standard_normal((14, 24 * 12))
+                        + 1j * rng.standard_normal((14, 24 * 12))
+                        ).astype(np.complex64))
+    ru.handle_dl_grid((0, 0, 0), grid)
+    ru.trigger_ul_slot((0, 0, 0))
+    back = got[(0, 0, 0)]
+    err = np.mean(np.abs(back - np.asarray(grid)) ** 2)
+    assert err < 1e-6                     # OFDM mod/demod is near-exact
+
+
+def test_ru_ofh_wraps_sector():
+    frames = []
+    ru = RuOfh(RuConfig(nof_prb=24), frames.append)
+    got = {}
+    ru.on_ul_grid = lambda ctx, g: got.update({ctx: g})
+    grid = np.full((14, 24 * 12), 0.1 + 0.1j, dtype=np.complex64)
+    ru.handle_dl_grid((1, 2, 3), grid)
+    assert frames
+    for f in frames:
+        ru.handle_rx_frame(f)
+    assert (1, 2, 3) in got
+
+
+# -------------------------------------------------------------------- radio
+def test_socket_radio_pair():
+    a = radio_mod.create_radio("socket")
+    b = radio_mod.create_radio("socket")
+    a.peer = ("127.0.0.1", b.port)
+    b.peer = ("127.0.0.1", a.port)
+    rng = np.random.default_rng(11)
+    samples = (rng.standard_normal(5000)
+               + 1j * rng.standard_normal(5000)).astype(np.complex64)
+    a.transmit(samples, timestamp=1234)
+    rx, ts = b.receive()
+    assert ts == 1234
+    assert np.allclose(rx, samples)
+    a.stop()
+    b.stop()
+
+
+def test_uhd_unavailable_raises():
+    with pytest.raises(RuntimeError):
+        radio_mod.create_radio("uhd")
