@@ -124,6 +124,102 @@ def dematch(llr: jnp.ndarray, base_graph: int, lifting_size: int, rv: int,
     return jnp.concatenate([punct, buffer], axis=-1)
 
 
+@functools.lru_cache(maxsize=256)
+def tb_maps(base_graph: int, lifting_size: int, rv: int,
+            payload_length: int, segment_length: int,
+            cb_lengths: tuple[int, ...], qm: int
+            ) -> tuple[np.ndarray, tuple[np.ndarray, ...], np.ndarray]:
+    """Whole-transport-block forward/inverse rate-match permutations.
+
+    Fuses, on the host, the per-codeblock circular-buffer bit selection
+    (TS 38.212 §5.4.2.1) AND the bit interleaver (§5.4.2.2) into single
+    index tables so the device work is ONE gather for the whole TB instead
+    of one gather+reshape per codeblock (the round-1 per-CB Python loop
+    that serialized the hot path and bloated compile time).
+
+    Returns:
+      fwd  [G] int32 — final TB codeword bit g comes from
+                        flat position fwd[g] of the [C, N_full*Zc] codeword.
+      invs tuple of [C*Nbuf] int32 — per-wrap inverse maps into the padded
+                        TB LLR vector [G+1] (slot G is a zero pad); summing
+                        the gathers soft-combines repeated bits.
+      filler [Nbuf] bool — filler positions (same for every CB of a TB).
+    """
+    z = lifting_size
+    nbuf = (66 if base_graph == 1 else 50) * z
+    nfull = nbuf + 2 * z
+    offs = np.concatenate([[0], np.cumsum(cb_lengths)]).astype(np.int64)
+    g_total = int(offs[-1])
+
+    fwd = np.empty(g_total, dtype=np.int32)
+    wraps_max = 0
+    per_cb = []
+    for r, e in enumerate(cb_lengths):
+        idx = selection_indices(base_graph, z, rv, payload_length,
+                                segment_length, e)
+        m = e // qm
+        # fold §5.4.2.2 interleaving: output j*qm+q reads selected[q*m+j]
+        inter = idx.reshape(qm, m).T.reshape(-1)
+        fwd[offs[r]:offs[r + 1]] = r * nfull + 2 * z + inter
+        # inverse with deinterleave folded: buffer bit i's w-th transmission
+        # sits at raw LLR position (p % m)*qm + (p // m) where p = inv[w][i]
+        invs_cb = inverse_selection_maps(base_graph, z, rv, payload_length,
+                                         segment_length, e)
+        wraps_max = max(wraps_max, len(invs_cb))
+        per_cb.append((invs_cb, m, e))
+
+    c = len(cb_lengths)
+    invs = [np.full(c * nbuf, g_total, dtype=np.int32)
+            for _ in range(wraps_max)]
+    for r, (invs_cb, m, e) in enumerate(per_cb):
+        for w, inv in enumerate(invs_cb):
+            p = inv.astype(np.int64)
+            valid = p < e
+            raw = (p % m) * qm + (p // m)
+            dst = invs[w][r * nbuf:(r + 1) * nbuf]
+            dst[valid] = (offs[r] + raw[valid]).astype(np.int32)
+
+    f_begin = payload_length - 2 * z
+    f_end = segment_length - 2 * z
+    pos = np.arange(nbuf)
+    filler = (pos >= f_begin) & (pos < f_end)
+    return fwd, tuple(invs), filler
+
+
+def match_tb(codewords: jnp.ndarray, base_graph: int, lifting_size: int,
+             rv: int, payload_length: int, segment_length: int,
+             cb_lengths: tuple[int, ...], qm: int) -> jnp.ndarray:
+    """All codeblocks [C, N_full*Zc] {0,1} → TB codeword bits [G]: 1 gather."""
+    fwd, _, _ = tb_maps(base_graph, lifting_size, rv, payload_length,
+                        segment_length, tuple(cb_lengths), qm)
+    return codewords.reshape(-1)[jnp.asarray(fwd)]
+
+
+def dematch_tb(llr: jnp.ndarray, base_graph: int, lifting_size: int,
+               rv: int, payload_length: int, segment_length: int,
+               cb_lengths: tuple[int, ...], qm: int,
+               llr_infty: float = float(LLR_INFTY)) -> jnp.ndarray:
+    """TB LLRs [G] → per-CB full-codeword LLRs [C, N_full*Zc]: 1-2 gathers.
+
+    Repetitions soft-combine (one gather per wrap — ≥2 only when E > Ncb),
+    fillers pin to +llr_infty, punctured 2Zc systematic positions get 0.
+    """
+    z = lifting_size
+    c = len(cb_lengths)
+    _, invs, filler = tb_maps(base_graph, lifting_size, rv, payload_length,
+                              segment_length, tuple(cb_lengths), qm)
+    nbuf = (66 if base_graph == 1 else 50) * z
+    llr_pad = jnp.concatenate([llr, jnp.zeros((1,), llr.dtype)])
+    buf = llr_pad[jnp.asarray(invs[0])]
+    for inv in invs[1:]:
+        buf = buf + llr_pad[jnp.asarray(inv)]
+    buf = buf.reshape(c, nbuf)
+    buf = jnp.where(jnp.asarray(filler), jnp.asarray(llr_infty, llr.dtype),
+                    buf)
+    punct = jnp.zeros((c, 2 * z), dtype=llr.dtype)
+    return jnp.concatenate([punct, buf], axis=-1)
+
+
 def combine_retransmission(acc_llr: jnp.ndarray, new_llr: jnp.ndarray,
                            payload_length: int, lifting_size: int,
                            llr_infty: float = float(LLR_INFTY)) -> jnp.ndarray:

@@ -28,6 +28,7 @@ from ...ops.ldpc import (decoder, decoder_pallas, encoder, encoder_pallas,
                          rate_match, segmentation)
 from ...ran import ldpc_params
 from ...ran.constants import LLR_MAX, NRE
+from . import ulsch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +50,8 @@ class ShConfig:
     nid_dmrs: int = 1
     n_scid: int = 0
     slot_in_frame: int = 0
+    # UCI multiplexed on PUSCH (TS 38.212 §6.2.7); empty for PDSCH
+    uci: ulsch.UciOnPusch = ulsch.UciOnPusch()
 
     # ------------------------------------------------------------------
     @functools.cached_property
@@ -86,9 +89,29 @@ class ShConfig:
         return ldpc_params.segment_tb(self.tbs, bg)
 
     @functools.cached_property
+    def uci_maps_key(self) -> tuple:
+        u = self.uci
+        return (self.nof_prb, self.qm, 1, self.first_symbol,
+                self.nof_symbols, self.dmrs_symbols,
+                self.dmrs_cdm_groups_without_data, u.g_harq_ack,
+                u.g_csi_part1, u.g_csi_part2, u.g_harq_ack_rvd)
+
+    @functools.cached_property
+    def uci_maps(self) -> dict:
+        return ulsch.demux_positions(*self.uci_maps_key)
+
+    @functools.cached_property
+    def g_sch(self) -> int:
+        """UL-SCH rate-matched length after UCI multiplexing (= nof_bits
+        when no UCI rides the PUSCH; includes reserved/punctured bits)."""
+        if not self.uci.any:
+            return self.nof_bits
+        return len(self.uci_maps["sch"])
+
+    @functools.cached_property
     def cb_lengths(self) -> list[int]:
         return ldpc_params.rate_match_lengths(
-            self.nof_bits, self.segments.nof_segments, self.qm, 1)
+            self.g_sch, self.segments.nof_segments, self.qm, 1)
 
     @property
     def scrambling_cinit(self) -> int:
@@ -131,10 +154,9 @@ def _dmrs_pilots(cfg: ShConfig) -> jnp.ndarray:
     return dmrs.pilot_values(cinits, cfg.prb_start, cfg.nof_prb)
 
 
-def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
-                   grid: jnp.ndarray,
-                   encoder_backend: str = "auto") -> jnp.ndarray:
-    """Process one transport block onto a [nsym, nsc] (or [port, ...]) grid."""
+def _encode_sch(tb_bits: jnp.ndarray, cfg: ShConfig,
+                encoder_backend: str = "auto") -> jnp.ndarray:
+    """TB bits → rate-matched SCH codeword bits [g_sch]."""
     seg = cfg.segments
     cbs = segmentation.segment_tx(tb_bits, seg)          # [C, K]
     if encoder_backend == "auto":
@@ -144,20 +166,17 @@ def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
         cw = encoder_pallas.encode(cbs, seg.base_graph, seg.lifting_size)
     else:
         cw = encoder.encode(cbs, seg.base_graph, seg.lifting_size)
-    rm = [
-        rate_match.match(cw[r], seg.base_graph, seg.lifting_size, cfg.rv,
-                         seg.payload_length, seg.segment_length, e, cfg.qm)
-        for r, e in enumerate(cfg.cb_lengths)
-    ]
-    codeword = jnp.concatenate(rm, axis=-1)              # [G]
-    seq = gold.gold_sequence(
-        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.nof_bits)
-    scrambled = codeword.astype(jnp.int8) ^ seq
-    syms = modulation.modulate(scrambled, cfg.qm)        # [n_re]
+    return rate_match.match_tb(
+        cw, seg.base_graph, seg.lifting_size, cfg.rv, seg.payload_length,
+        seg.segment_length, tuple(cfg.cb_lengths), cfg.qm)    # [G], 1 gather
 
-    # Structured slice-based RE mapping (no scatters): each symbol of the
-    # contiguous allocation is one row write; DM-RS symbols interleave the
-    # comb-2 pilots with data (CDM-1) or zeros (CDM-2).
+
+def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray
+            ) -> jnp.ndarray:
+    """Structured slice-based RE mapping (no scatters): each symbol of the
+    contiguous allocation is one row write; DM-RS symbols interleave the
+    comb-2 pilots with data (CDM-1) or zeros (CDM-2).  Public so profilers
+    measure exactly the production mapping."""
     lo, hi = cfg.sc_bounds
     width = hi - lo
     pilots = _dmrs_pilots(cfg)                           # [ndmrs, width/2]
@@ -178,6 +197,51 @@ def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
     return grid
 
 
+def _scramble_modulate_map(codeword: jnp.ndarray, cfg: ShConfig,
+                           grid: jnp.ndarray) -> jnp.ndarray:
+    seq = gold.gold_sequence(
+        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.nof_bits)
+    scrambled = codeword.astype(jnp.int8) ^ seq
+    syms = modulation.modulate(scrambled, cfg.qm)        # [n_re]
+    return map_res(syms, cfg, grid)
+
+
+def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
+                   grid: jnp.ndarray,
+                   encoder_backend: str = "auto") -> jnp.ndarray:
+    """Process one transport block onto a [nsym, nsc] (or [port, ...]) grid."""
+    codeword = _encode_sch(tb_bits, cfg, encoder_backend)
+    return _scramble_modulate_map(codeword, cfg, grid)
+
+
+def pusch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
+                   ack_bits: jnp.ndarray | None = None,
+                   csi1_bits: jnp.ndarray | None = None,
+                   csi2_bits: jnp.ndarray | None = None,
+                   encoder_backend: str = "auto") -> jnp.ndarray:
+    """UL-SCH transmit with UCI multiplexing (UE-side / loopback TX).
+
+    Mirrors pusch_processor semantics in reverse: data and encoded UCI
+    fields are interleaved per TS 38.212 §6.2.7 before scrambling.
+    """
+    sch_bits = _encode_sch(tb_bits, cfg, encoder_backend)
+    if not cfg.uci.any:
+        return _scramble_modulate_map(sch_bits, cfg, grid)
+    u = cfg.uci
+    empty = jnp.zeros((0,), jnp.int8)
+    ack = (ulsch.encode_uci_field(ack_bits, u.nof_harq_ack_bits,
+                                  len(cfg.uci_maps["ack"]), cfg.qm)
+           if u.nof_harq_ack_bits else empty)
+    csi1 = (ulsch.encode_uci_field(csi1_bits, u.nof_csi_part1_bits,
+                                   len(cfg.uci_maps["csi1"]), cfg.qm)
+            if u.nof_csi_part1_bits else empty)
+    csi2 = (ulsch.encode_uci_field(csi2_bits, u.nof_csi_part2_bits,
+                                   len(cfg.uci_maps["csi2"]), cfg.qm)
+            if u.nof_csi_part2_bits else empty)
+    codeword = ulsch.multiplex(sch_bits, ack, csi1, csi2, cfg.uci_maps_key)
+    return _scramble_modulate_map(codeword, cfg, grid)
+
+
 @dataclasses.dataclass
 class PuschResult:
     tb_bits: jnp.ndarray
@@ -187,6 +251,13 @@ class PuschResult:
     rsrp: jnp.ndarray
     sinr_db: jnp.ndarray
     evm: jnp.ndarray | None = None
+    # UCI on PUSCH (empty arrays when not configured)
+    ack_bits: jnp.ndarray | None = None
+    ack_valid: jnp.ndarray | None = None
+    csi1_bits: jnp.ndarray | None = None
+    csi1_valid: jnp.ndarray | None = None
+    csi2_bits: jnp.ndarray | None = None
+    csi2_valid: jnp.ndarray | None = None
 
 
 def evm_calculate(x_hat: jnp.ndarray, qm: int) -> jnp.ndarray:
@@ -204,13 +275,31 @@ def evm_calculate(x_hat: jnp.ndarray, qm: int) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean(jnp.abs(x_hat - hard) ** 2))
 
 
-def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig
-                     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Front half of the PUSCH receiver: grid → per-codeblock LLRs.
+@dataclasses.dataclass
+class PuschDemod:
+    """Output of the PUSCH front half (pre-LDPC)."""
+    llr_full: jnp.ndarray          # [C, N_full*Zc] — HARQ-combinable
+    noise_var: jnp.ndarray
+    rsrp: jnp.ndarray
+    evm: jnp.ndarray
+    ack_llr: jnp.ndarray           # [G_ack] (empty when no UCI)
+    csi1_llr: jnp.ndarray
+    csi2_llr: jnp.ndarray
 
-    Returns (llr_full [C, N_full*Zc], noise_var scalar, rsrp scalar) —
-    the HARQ softbuffer combines llr_full across retransmissions before
-    decoding (pusch_decode).
+    # tuple-style unpacking kept for the pre-UCI callers/tests
+    def __iter__(self):
+        return iter((self.llr_full, self.noise_var, self.rsrp))
+
+    def __getitem__(self, i):
+        return (self.llr_full, self.noise_var, self.rsrp)[i]
+
+
+def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
+    """Front half of the PUSCH receiver: grid → per-codeblock LLRs + UCI.
+
+    The HARQ softbuffer combines llr_full across retransmissions before
+    decoding (pusch_decode).  UCI field LLRs are demultiplexed per
+    TS 38.212 §6.2.7 (pusch_processor_impl.cpp:259-279).
     """
     if rx_grid.ndim == 2:
         rx_grid = rx_grid[None]
@@ -239,29 +328,39 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig
     x_hat, post_nv = equalizer.zf_1xn(y, h, noise_var)
 
     # --- demap + descramble (sign flip on scrambled positions)
+    evm = evm_calculate(x_hat, cfg.qm)
     llr = modulation.demodulate_soft(x_hat, post_nv, cfg.qm)
     seq = gold.gold_sequence(
         jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.nof_bits)
     llr = llr * (1.0 - 2.0 * seq.astype(jnp.float32))
     llr = jnp.clip(llr, -float(LLR_MAX), float(LLR_MAX))  # int8 LLR domain
+    llr = llr.reshape(-1)                                 # single-layer TB
 
-    # --- rate dematch (per-codeblock soft combining into circular buffers)
+    # --- UL-SCH demultiplex (UCI on PUSCH): four static gathers
+    if cfg.uci.any:
+        sch_llr, ack_llr, csi1_llr, csi2_llr = ulsch.demultiplex(
+            llr, cfg.uci_maps)
+    else:
+        sch_llr, ack_llr = llr, llr[:0]
+        csi1_llr, csi2_llr = llr[:0], llr[:0]
+
+    # --- rate dematch: whole-TB inverse permutation, 1-2 gathers
     seg = cfg.segments
-    offs = np.concatenate([[0], np.cumsum(cfg.cb_lengths)])
-    full = jnp.stack([
-        rate_match.dematch(llr[offs[r]:offs[r + 1]], seg.base_graph,
-                           seg.lifting_size, cfg.rv, seg.payload_length,
-                           seg.segment_length, e, cfg.qm)
-        for r, e in enumerate(cfg.cb_lengths)
-    ])                                                    # [C, Nfull]
-    return full, noise_var, jnp.mean(est.rsrp)
+    full = rate_match.dematch_tb(
+        sch_llr, seg.base_graph, seg.lifting_size, cfg.rv,
+        seg.payload_length, seg.segment_length, tuple(cfg.cb_lengths),
+        cfg.qm)                                           # [C, Nfull]
+    return PuschDemod(llr_full=full, noise_var=noise_var,
+                      rsrp=jnp.mean(est.rsrp), evm=evm, ack_llr=ack_llr,
+                      csi1_llr=csi1_llr, csi2_llr=csi2_llr)
 
 
 def pusch_decode(llr_full: jnp.ndarray, cfg: ShConfig,
                  noise_var: jnp.ndarray, rsrp: jnp.ndarray,
                  nof_ldpc_iterations: int = 6,
-                 decoder_backend: str = "auto") -> PuschResult:
-    """Back half: combined LLRs → decoded TB + CRC + CSI."""
+                 decoder_backend: str = "auto",
+                 demod: PuschDemod | None = None) -> PuschResult:
+    """Back half: combined LLRs → decoded TB + CRC + CSI (+ UCI decode)."""
     seg = cfg.segments
     if decoder_backend == "auto":
         decoder_backend = ("pallas" if jax.default_backend() not in ("cpu",)
@@ -276,10 +375,23 @@ def pusch_decode(llr_full: jnp.ndarray, cfg: ShConfig,
     tb, tb_ok, cb_ok = segmentation.desegment_rx(bits, seg)
     tb_ok = tb_ok & jnp.all(ok)
     sinr = rsrp / noise_var
-    return PuschResult(
+    res = PuschResult(
         tb_bits=tb, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok & ok,
         noise_var=noise_var, rsrp=rsrp,
-        sinr_db=10.0 * jnp.log10(jnp.maximum(sinr, 1e-12)))
+        sinr_db=10.0 * jnp.log10(jnp.maximum(sinr, 1e-12)),
+        evm=demod.evm if demod is not None else None)
+    if demod is not None and cfg.uci.any:
+        u = cfg.uci
+        if u.nof_harq_ack_bits:
+            res.ack_bits, res.ack_valid = ulsch.decode_uci_field(
+                demod.ack_llr, u.nof_harq_ack_bits, cfg.qm)
+        if u.nof_csi_part1_bits:
+            res.csi1_bits, res.csi1_valid = ulsch.decode_uci_field(
+                demod.csi1_llr, u.nof_csi_part1_bits, cfg.qm)
+        if u.nof_csi_part2_bits:
+            res.csi2_bits, res.csi2_valid = ulsch.decode_uci_field(
+                demod.csi2_llr, u.nof_csi_part2_bits, cfg.qm)
+    return res
 
 
 def pusch_receive(rx_grid: jnp.ndarray, cfg: ShConfig,
@@ -290,6 +402,6 @@ def pusch_receive(rx_grid: jnp.ndarray, cfg: ShConfig,
     decoder_backend: "pallas" (TPU kernel), "xla", or "auto" (pallas on
     TPU, xla elsewhere).
     """
-    full, noise_var, rsrp = pusch_demodulate(rx_grid, cfg)
-    return pusch_decode(full, cfg, noise_var, rsrp, nof_ldpc_iterations,
-                        decoder_backend)
+    d = pusch_demodulate(rx_grid, cfg)
+    return pusch_decode(d.llr_full, cfg, d.noise_var, d.rsrp,
+                        nof_ldpc_iterations, decoder_backend, demod=d)
