@@ -217,7 +217,8 @@ class Gnb:
 
     def _run_one_slot(self, sfn: int, slot: int) -> None:
         out = self.du.run_slot(slot)
-        dl_req, tx_req, ul_req = self.mac_to_fapi.translate(out, sfn, slot)
+        dl_req, tx_req, ul_req, _ul_dci = self.mac_to_fapi.translate(
+            out, sfn, slot)
         ue = self.ue
         if self._phy is not None and (dl_req.pdsch_pdus
                                       or ul_req.pusch_pdus):

@@ -19,10 +19,12 @@ import jax.numpy as jnp
 from ..fapi import messages as fapi
 from ..fapi_adaptor import _bits, _bytes
 from ..phy.lower import ofdm
+from ..phy.upper import pdcch as pdcch_proc
 from ..phy.upper import sch
 from ..phy.upper.upper_phy import UpperPhy, UpperPhyConfig
-from ..ran import numerology
-from ..scheduler import CellConfig
+from ..ran import mcs_tables, numerology, tbs as tbs_mod
+from ..scheduler import CellConfig, dci as dci_mod
+from ..scheduler.pdcch_alloc import PdcchSlotAllocator
 
 
 class PhyLoop:
@@ -36,8 +38,9 @@ class PhyLoop:
 
     # --------------------------------------------------------------- helpers
     def _awgn(self, samples: jnp.ndarray) -> jnp.ndarray:
-        sigma = (10 ** (-self.snr_db / 20)
-                 * np.sqrt(self.cell.nof_prb * 12) / np.sqrt(self.nfft))
+        # per-RE SNR calibration (see phy.pipeline: sigma² of time-domain
+        # noise lands on each RE as sigma²/nfft after demodulate_slot)
+        sigma = np.sqrt(self.nfft) * 10 ** (-self.snr_db / 20)
         n = (self._rng.standard_normal(samples.shape)
              + 1j * self._rng.standard_normal(samples.shape)) * sigma / 2**0.5
         return samples + jnp.asarray(n.astype(np.complex64))
@@ -47,6 +50,49 @@ class PhyLoop:
         bb = self._awgn(bb)
         return ofdm.demodulate_slot(bb, self.cell.nof_prb * 12,
                                     self.cell.mu, self.nfft)
+
+    # ----------------------------------------------------- UE DCI decode
+    def _ue_blind_decode_dci(self, rx_grid: jnp.ndarray, rnti: int,
+                             slot: int) -> dict:
+        """Search-space blind decode (one jitted program, candidates as a
+        traced batch).  Returns {(is_dl, prb_start): Dci}."""
+        n = self.cell.nof_prb
+        cfg = pdcch_proc.PdcchConfig(
+            rnti=rnti, payload_size=dci_mod.dci_size(n),
+            aggregation_level=self.cell.pdcch_aggregation_level,
+            n_id=self.cell.pci, n_rnti=rnti)
+        alloc = PdcchSlotAllocator(self.cell.nof_cces)
+        cand = alloc._candidates(cfg.aggregation_level,
+                                 self.cell.pdcch_candidates, rnti, slot)
+        # dedupe, keep static batch width for one compiled shape
+        cand = sorted(set(cand))
+        width = self.cell.pdcch_candidates
+        cand = (cand + cand[:1] * width)[:width]
+        payloads, oks = jax.jit(
+            lambda g, c: pdcch_proc.pdcch_blind_receive(g, cfg, c)
+        )(rx_grid, jnp.asarray(cand, jnp.int32))
+        out: dict = {}
+        oks = np.asarray(oks)
+        payloads = np.asarray(payloads)
+        for i in range(len(cand)):
+            if oks[i]:
+                d = dci_mod.unpack(payloads[i], n)
+                out[(d.is_dl, d.prb_start)] = d
+        return out
+
+    def _ue_sh_config(self, d, rnti: int, slot: int) -> sch.ShConfig:
+        """Rebuild the PDSCH config from decoded DCI fields (the UE's
+        view: TS 38.214 TBS determination from MCS + allocation)."""
+        qm, r = mcs_tables.mcs_to_qm_rate(d.mcs, self.cell.mcs_table)
+        bits = tbs_mod.tbs_calculate(
+            self.cell.pdsch_symbols, self.cell.dl_dmrs_per_prb, 0, r, qm,
+            1, d.prb_len)
+        return sch.ShConfig(
+            rnti=rnti, tbs=(bits // 8) * 8, qm=qm, rv=d.rv,
+            prb_start=d.prb_start, nof_prb=d.prb_len,
+            first_symbol=2, nof_symbols=12, dmrs_symbols=(2, 7, 11),
+            nid=self.cell.pci, nid_dmrs=self.cell.pci,
+            slot_in_frame=slot % self.cell.slots_per_frame)
 
     # ------------------------------------------------------------- slot run
     def run_slot(self, dl_req: fapi.DlTtiRequest, tx_req: fapi.TxDataRequest,
@@ -58,11 +104,20 @@ class PhyLoop:
         if dl_req.pdsch_pdus and ue is not None:
             grid = self.upper.process_dl_slot(dl_req, tx_req)
             rx = self._ofdm_roundtrip(grid)
+            # UE blind-decodes its DCIs from the control region FIRST —
+            # the PDSCH allocation comes from the decoded DCI fields, not
+            # from side-channel knowledge of the gNB's FAPI PDUs.
+            dcis = (self._ue_blind_decode_dci(rx, ue.rnti, dl_req.slot)
+                    if ue.rnti is not None else {})
             for pdu in dl_req.pdsch_pdus:
                 cfg = pdu.config
                 if cfg.rnti != ue.rnti:
                     continue              # RAR/SIB: decoded at MAC level
-                res = sch.pusch_receive(rx[None], cfg, 6)
+                d = dcis.get((True, cfg.prb_start))
+                if d is None:
+                    continue              # no DCI decoded -> no PDSCH
+                ue_cfg = self._ue_sh_config(d, ue.rnti, dl_req.slot)
+                res = sch.pusch_receive(rx[None], ue_cfg, 6)
                 if bool(res.tb_crc_ok):
                     ue.consume_dl_pdu(_bytes(np.asarray(res.tb_bits)))
         # ----------------------------------------------------------- UL

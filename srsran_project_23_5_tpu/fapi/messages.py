@@ -50,6 +50,16 @@ class DlTtiRequest:
 
 
 @dataclasses.dataclass
+class UlDciRequest:
+    """UL_DCI.request (messages.h ul_dci_request_message): PDCCH PDUs
+    carrying UL grants (DCI 0_0), transmitted in this slot's DL control
+    region for PUSCH landing at slot + k2."""
+    sfn: int
+    slot: int
+    pdcch_pdus: list[PdcchPdu] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class TxDataRequest:
     """TX_Data.request (messages.h:841): transport blocks for the PDSCH
     PDUs of the same slot, in order."""

@@ -19,9 +19,11 @@ import numpy as np
 
 from ..fapi import messages as fapi
 from ..mac import MacCellProcessor, MacSlotOutput
+from ..phy.upper.pdcch import PdcchConfig
 from ..phy.upper.pucch import PucchF1Config
 from ..phy.upper.sch import ShConfig
-from ..scheduler import CellConfig
+from ..phy.upper.ssb import SsbConfig
+from ..scheduler import CellConfig, dci as dci_mod
 from ..scheduler.results import DlGrant, UlGrant
 
 
@@ -40,20 +42,56 @@ class MacToFapiTranslator:
         self.dmrs_symbols = tuple(dmrs_symbols)
 
     def _sh_config(self, g, slot: int, is_dl: bool) -> ShConfig:
+        # DL rides symbols 2..13 (0-1 are the PDCCH control region); UL
+        # uses the full slot.  Geometry matches the scheduler's TBS math
+        # (pdsch_symbols=12, 3 whole DM-RS symbols).
+        first, nsym = (2, 12) if is_dl else (0, 14)
         return ShConfig(
             rnti=g.rnti, tbs=g.tbs_bytes * 8, qm=g.qm, rv=g.rv,
             prb_start=g.prb_start, nof_prb=g.prb_len,
+            first_symbol=first, nof_symbols=nsym,
             dmrs_symbols=self.dmrs_symbols, nid=self.cell.pci,
             nid_dmrs=self.cell.pci,
             slot_in_frame=slot % self.cell.slots_per_frame)
 
+    def _pdcch_pdu(self, g, slot: int) -> fapi.PdcchPdu:
+        """Grant → PDCCH PDU: packed DCI + CCE-allocated candidate
+        (mac_to_fapi_translator.cpp PDCCH path + dci_packing)."""
+        n = self.cell.nof_prb
+        d = dci_mod.Dci(is_dl=isinstance(g, DlGrant),
+                        prb_start=g.prb_start, prb_len=g.prb_len,
+                        mcs=g.mcs, ndi=int(g.ndi), rv=g.rv,
+                        harq_pid=g.harq_pid)
+        cfg = PdcchConfig(
+            rnti=g.rnti, payload_size=dci_mod.dci_size(n),
+            aggregation_level=g.aggregation_level, cce_index=g.cce_index,
+            start_symbol=0, nof_symbols=1, n_id=self.cell.pci,
+            n_rnti=g.rnti)
+        return fapi.PdcchPdu(cfg, dci_mod.pack(d, n))
+
+    def _ssb_pdu(self, sfn: int) -> fapi.SsbPdu:
+        payload = np.unpackbits(np.frombuffer(
+            np.uint32((sfn << 10) | self.cell.pci).tobytes(),
+            dtype=np.uint8)).astype(np.int8)
+        k0 = max(0, (self.cell.nof_prb * 12 - 240) // 2)
+        k0 = min(k0, 6)   # keep inside the SSB-reserved PRBs when narrow
+        return fapi.SsbPdu(SsbConfig(pci=self.cell.pci, sfn=sfn),
+                           payload, first_subcarrier=k0)
+
     def translate(self, out: MacSlotOutput, sfn: int, slot: int
                   ) -> tuple[fapi.DlTtiRequest, fapi.TxDataRequest,
-                             fapi.UlTtiRequest]:
+                             fapi.UlTtiRequest, fapi.UlDciRequest]:
         res = out.result
         dl = fapi.DlTtiRequest(sfn, slot)
         tx = fapi.TxDataRequest(sfn, slot)
         ul = fapi.UlTtiRequest(sfn, slot)
+        ul_dci = fapi.UlDciRequest(sfn, slot)
+        if res.ssb:
+            dl.ssb_pdus.append(self._ssb_pdu(sfn))
+        for g in res.ul_dcis:
+            ul_dci.pdcch_pdus.append(self._pdcch_pdu(g, slot))
+        # UL DCIs ride the same slot's DL control region
+        dl.pdcch_pdus.extend(ul_dci.pdcch_pdus)
         for g in res.dl_grants:
             tb: Optional[bytes] = None
             if g.is_rar:
@@ -65,11 +103,13 @@ class MacToFapiTranslator:
             if tb is None:
                 continue
             cfg = self._sh_config(g, slot, True)
+            dl.pdcch_pdus.append(self._pdcch_pdu(g, slot))
             dl.pdsch_pdus.append(fapi.PdschPdu(cfg))
             tx.transport_blocks.append(_bits(tb.ljust(g.tbs_bytes, b"\x00"),
                                              cfg.tbs))
         if res.sib1 is not None and out.sib1_pdu is not None:
             cfg = self._sh_config(res.sib1, slot, True)
+            dl.pdcch_pdus.append(self._pdcch_pdu(res.sib1, slot))
             dl.pdsch_pdus.append(fapi.PdschPdu(cfg))
             tx.transport_blocks.append(_bits(out.sib1_pdu, cfg.tbs))
         for g in res.ul_grants:
@@ -84,7 +124,7 @@ class MacToFapiTranslator:
             ul.prach_pdus.append(fapi.PrachPdu(root_sequence_index=1,
                                                length=839,
                                                zero_correlation_zone=13))
-        return dl, tx, ul
+        return dl, tx, ul, ul_dci
 
 
 class FapiToMacTranslator:

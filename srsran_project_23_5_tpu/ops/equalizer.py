@@ -42,6 +42,34 @@ def mmse_1xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
     return x_hat, post_nv
 
 
+def zf_nx2(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray
+           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """N×2 MIMO zero-forcing via 2×2 normal equations.
+
+    Generalizes the reference's equalize_zf_2x2.cpp to any nof_rx ≥ 2:
+    x̂ = (HᴴH)⁻¹ Hᴴ y per RE, post noise var σ²·diag((HᴴH)⁻¹).
+
+    y: [..., nrx, n_re]; h: [..., nrx, 2, n_re]; noise_var broadcastable.
+    Returns (x_hat [..., 2, n_re], post_noise_var [..., 2, n_re]).
+    """
+    h0 = h[..., :, 0, :]                     # [..., nrx, n_re]
+    h1 = h[..., :, 1, :]
+    a00 = jnp.sum(jnp.abs(h0) ** 2, axis=-2)          # real
+    a11 = jnp.sum(jnp.abs(h1) ** 2, axis=-2)
+    a01 = jnp.sum(jnp.conj(h0) * h1, axis=-2)         # complex
+    b0 = jnp.sum(jnp.conj(h0) * y, axis=-2)
+    b1 = jnp.sum(jnp.conj(h1) * y, axis=-2)
+    det = a00 * a11 - jnp.abs(a01) ** 2
+    det = jnp.maximum(det, 1e-12)
+    x0 = (a11 * b0 - a01 * b1) / det
+    x1 = (a00 * b1 - jnp.conj(a01) * b0) / det
+    nv = jnp.asarray(noise_var)[..., None]
+    nv0 = nv * a11 / det
+    nv1 = nv * a00 / det
+    return (jnp.stack([x0, x1], axis=-2),
+            jnp.stack([nv0, nv1], axis=-2))
+
+
 def zf_2x2(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray
            ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """2x2 MIMO zero-forcing by explicit inverse.

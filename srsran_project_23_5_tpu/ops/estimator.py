@@ -33,15 +33,48 @@ class CombChannelEstimate:
     noise_var: jnp.ndarray
     epre: jnp.ndarray
     rsrp: jnp.ndarray
+    # time alignment in normalized units: delay_samples = ta_norm * nfft
+    # (phase ramp slope across frequency; reference estimates the same
+    # quantity via IDFT peak, port_channel_estimator_average_impl.cpp:97-225)
+    ta_norm: jnp.ndarray | None = None
+    # per-DM-RS-symbol estimates for time interpolation (optional)
+    h_dmrs: jnp.ndarray | None = None     # [..., ndmrs, nsc_alloc]
+
+
+def _comb2_interp(p: jnp.ndarray, delta: int) -> jnp.ndarray:
+    """Pilot-comb values [..., npil] → allocation grid [..., 2*npil] via
+    midpoint interpolation with edge extrapolation (structured, no gather)."""
+    p_next = jnp.concatenate(
+        [p[..., 1:], 2 * p[..., -1:] - p[..., -2:-1]], axis=-1)
+    mid = 0.5 * (p + p_next)
+    if delta == 0:
+        pair = jnp.stack([p, mid], axis=-1)
+    else:
+        p_prev = jnp.concatenate(
+            [2 * p[..., :1] - p[..., 1:2], p[..., :-1]], axis=-1)
+        pair = jnp.stack([0.5 * (p + p_prev), p], axis=-1)
+    return pair.reshape(*p.shape[:-1], 2 * p.shape[-1])
 
 
 def estimate_comb2(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray,
-                   delta: int = 0) -> CombChannelEstimate:
+                   delta: int = 0,
+                   time_interp: bool = False) -> CombChannelEstimate:
     """LS + average + structured linear interpolation for comb-2 pilots on
     a contiguous allocation (the PUSCH/PDSCH DM-RS type-1 case).
 
     rx_pilots: [..., ndmrs_sym, npilot]; pilots sit at allocation-relative
     subcarriers 2k + delta.  Entirely slice/concat ops — TPU-fast.
+
+    Time alignment: a propagation delay τ shows as the frequency ramp
+    h[k] ∝ e^{-j2πkτ/nfft}.  The ramp slope is estimated from the mean
+    lag-1 pilot correlation, the pilots are DEROTATED before the midpoint
+    interpolation (which would otherwise rotate up to πτ·2/nfft between
+    pilots) and the ramp is re-applied on the interpolated grid — exact
+    for a pure delay, accurate to the channel's delay spread otherwise.
+    ta_norm = τ/nfft is reported (reference: IDFT-peak TA estimate).
+
+    time_interp=True additionally returns per-DM-RS-symbol estimates
+    (h_dmrs) so callers can interpolate across time for drifting channels.
     """
     lse = rx_pilots * jnp.conj(tx_pilots) / (jnp.abs(tx_pilots) ** 2)
     ndmrs = lse.shape[-2]
@@ -56,17 +89,62 @@ def estimate_comb2(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray,
     epre = jnp.mean(jnp.abs(rx_pilots) ** 2, axis=(-1, -2))
     rsrp = jnp.mean(jnp.abs(p) ** 2, axis=-1)
 
-    # midpoints between pilots; linear extrapolation at the far edge
-    p_next = jnp.concatenate(
-        [p[..., 1:], 2 * p[..., -1:] - p[..., -2:-1]], axis=-1)
-    mid = 0.5 * (p + p_next)
-    if delta == 0:
-        pair = jnp.stack([p, mid], axis=-1)
+    # --- time-alignment: phase per pilot step (pilots 2 subcarriers apart)
+    corr = jnp.sum(p[..., 1:] * jnp.conj(p[..., :-1]), axis=-1)
+    phi = jnp.angle(corr)                                  # [...]
+    ta_norm = -phi / (4.0 * np.pi)                         # τ / nfft
+    # h[sc] = a·e^{j·r·sc} with r = -2πτ/N; corr gives phi = 2r.
+    npil = p.shape[-1]
+    m_idx = jnp.arange(npil, dtype=jnp.float32)
+    derot = jnp.exp(-1j * phi[..., None] * m_idx)          # remove ramp
+    sc_idx = jnp.arange(2 * npil, dtype=jnp.float32) - float(delta)
+    rerot = jnp.exp(1j * (phi[..., None] / 2.0) * sc_idx)  # re-apply ramp
+
+    h_alloc = _comb2_interp(p * derot, delta) * rerot
+    h_dmrs = None
+    if time_interp:
+        h_dmrs = (_comb2_interp(lse * derot[..., None, :], delta)
+                  * rerot[..., None, :])
+    return CombChannelEstimate(h_alloc=h_alloc, noise_var=noise_var,
+                               epre=epre, rsrp=rsrp, ta_norm=ta_norm,
+                               h_dmrs=h_dmrs)
+
+
+def estimate_comb2_occ2(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray
+                        ) -> CombChannelEstimate:
+    """Two-layer CDM despread estimate (type-1, CDM group 0, fd-OCC).
+
+    DM-RS ports 0/1 share the comb and are separated by the frequency OCC
+    w_f = [+1,+1] / [+1,-1] over consecutive pilot pairs (TS 38.211
+    Table 6.4.1.1.3-1; reference port_channel_estimator despreads CDM the
+    same way).  rx_pilots: [..., ndmrs_sym, npilot]; tx_pilots the port-0
+    (un-OCC'd) pilots.  Returns h_alloc [..., 2, nsc_alloc] — per-LAYER
+    channel over the allocation subcarriers.
+    """
+    lse = rx_pilots * jnp.conj(tx_pilots) / (jnp.abs(tx_pilots) ** 2)
+    even = lse[..., 0::2]                                  # pair first pilot
+    odd = lse[..., 1::2]
+    h0 = 0.5 * (even + odd)                                # [..., nsym, npair]
+    h1 = 0.5 * (even - odd)
+    h = jnp.stack([h0, h1], axis=-3)                       # [..., 2, nsym, np]
+    ndmrs = h.shape[-2]
+    p = jnp.mean(h, axis=-2)                               # [..., 2, npair]
+    if ndmrs > 1:
+        resid = h - p[..., None, :]
+        # despreading halves the per-RE noise: scale the residual var by 2
+        noise_var = (2.0 * jnp.mean(jnp.abs(resid) ** 2, axis=(-1, -2, -3))
+                     * ndmrs / (ndmrs - 1))
     else:
-        p_prev = jnp.concatenate(
-            [2 * p[..., :1] - p[..., 1:2], p[..., :-1]], axis=-1)
-        pair = jnp.stack([0.5 * (p + p_prev), p], axis=-1)
-    h_alloc = pair.reshape(*p.shape[:-1], 2 * p.shape[-1])
+        diff = p[..., 1:] - p[..., :-1]
+        noise_var = jnp.mean(jnp.abs(diff) ** 2, axis=(-1, -2))
+    epre = jnp.mean(jnp.abs(rx_pilots) ** 2, axis=(-1, -2))
+    rsrp = jnp.mean(jnp.abs(p) ** 2, axis=(-1, -2))
+
+    # pair j covers allocation SCs {4j, 4j+2}; interpolate from centers
+    # 4j+1 onto every allocation subcarrier.
+    npair = h0.shape[-1]
+    sc = 4 * np.arange(npair) + 1
+    h_alloc = _interp_freq(p, sc, 4 * npair)
     return CombChannelEstimate(h_alloc=h_alloc, noise_var=noise_var,
                                epre=epre, rsrp=rsrp)
 

@@ -44,7 +44,8 @@ def _layers(graph):
     return out, e0
 
 
-def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float):
+def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float,
+                 early_termination: bool = True):
     graph = lifted_graph(base_graph, z)
     n = graph.nof_var_blocks
     k = graph.nof_msg_blocks
@@ -62,7 +63,20 @@ def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float):
         app[:] = llr_ref[:]
         c2v[:] = jnp.zeros_like(c2v)
 
-        def one_iteration(_, carry):
+        def syndrome_ok():
+            """1.0 iff every check row of every CB in the tile is satisfied
+            (in-kernel analogue of the reference's per-iteration CRC early
+            stop, ldpc_decoder_impl.cpp:126-133)."""
+            allmin = jnp.float32(1.0)
+            for e0, cols, shifts in layers:
+                rowsgn = jnp.ones((B_TILE, z), jnp.float32)
+                for c, s in zip(cols, shifts):
+                    v = rot(blk(app, c), s)
+                    rowsgn = rowsgn * jnp.where(v <= 0.0, -1.0, 1.0)
+                allmin = jnp.minimum(allmin, jnp.min(rowsgn))
+            return allmin
+
+        def update_layers():
             for e0, cols, shifts in layers:
                 m1 = jnp.full((B_TILE, z), _BIG, jnp.float32)
                 m2 = jnp.full((B_TILE, z), _BIG, jnp.float32)
@@ -82,9 +96,26 @@ def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float):
                     msg = scale * sgnprod * sgn * jnp.where(a == m1, m2, m1)
                     c2v[:, (e0 + i) * z:(e0 + i + 1) * z] = msg
                     app[:, c * z:(c + 1) * z] = rot(t + msg, z - s)
-            return carry
 
-        jax.lax.fori_loop(0, nof_iterations, one_iteration, 0)
+        def body(carry):
+            it, _ = carry
+            update_layers()
+            # early termination: stop iterating once the whole tile's
+            # syndrome is clean (typical-case latency lever; high-SNR
+            # decodes converge in 2-3 of the max iterations)
+            notdone = jnp.where(syndrome_ok() > 0.0, jnp.int32(0),
+                                jnp.int32(1))
+            return it + 1, notdone
+
+        if early_termination:
+            jax.lax.while_loop(
+                lambda c: (c[0] < nof_iterations) & (c[1] > 0),
+                body, (jnp.int32(0), jnp.int32(1)))
+        else:
+            def fixed_body(_, carry):
+                update_layers()
+                return carry
+            jax.lax.fori_loop(0, nof_iterations, fixed_body, 0)
 
         # Hard decisions + syndrome (sign-domain: row product of signs must
         # be positive on every lane of every check row).
@@ -103,11 +134,12 @@ def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float):
     return kernel, n, k, n_edges, d_max
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _decode_tiles(llr: jnp.ndarray, base_graph: int, z: int,
-                  nof_iterations: int, scale: float, interpret: bool):
+                  nof_iterations: int, scale: float, interpret: bool,
+                  early_termination: bool = True):
     kernel, n, k, n_edges, d_max = _make_kernel(
-        base_graph, z, nof_iterations, scale)
+        base_graph, z, nof_iterations, scale, early_termination)
     bp = llr.shape[0]
     assert bp % B_TILE == 0
     grid = (bp // B_TILE,)
@@ -138,7 +170,9 @@ def _decode_tiles(llr: jnp.ndarray, base_graph: int, z: int,
 
 def decode(llr: jnp.ndarray, base_graph: int, lifting_size: int,
            nof_iterations: int = 6, scale: float = 0.8,
-           interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+           interpret: bool = False,
+           early_termination: bool = True
+           ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-kernel decode; same contract as decoder.decode.
 
     llr: [batch, N_full*Zc] float32; returns (bits [batch, K], ok [batch]).
@@ -146,9 +180,12 @@ def decode(llr: jnp.ndarray, base_graph: int, lifting_size: int,
     b = llr.shape[0]
     bp = -(-b // B_TILE) * B_TILE
     if bp != b:
+        # pad with a strongly-decided all-zeros codeword (+LLR ⇒ bit 0) so
+        # padding rows satisfy the syndrome and never block early exit
         llr = jnp.concatenate(
-            [llr, jnp.zeros((bp - b, llr.shape[1]), llr.dtype)], axis=0)
+            [llr, jnp.full((bp - b, llr.shape[1]), 20.0, llr.dtype)],
+            axis=0)
     bits, ok = _decode_tiles(llr.astype(jnp.float32), base_graph,
                              lifting_size, nof_iterations, float(scale),
-                             interpret)
+                             interpret, early_termination)
     return bits[:b], ok[:b]

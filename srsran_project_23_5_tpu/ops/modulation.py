@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,7 +66,36 @@ def pam_levels(qm: int) -> np.ndarray:
 
 
 def modulate(bits: jnp.ndarray, qm: int) -> jnp.ndarray:
-    """[..., E] {0,1} int8 → [..., E/qm] complex64 symbols."""
+    """[..., E] {0,1} int8 → [..., E/qm] complex64 symbols.
+
+    Gather-free: the Gray-coded PAM amplitude is evaluated arithmetically
+    per axis — level = s0·(2^(n-1) − s1·(2^(n-2) − …)), s_k = 1−2b_k —
+    as pure elementwise VPU math (a constellation-LUT gather is ~20×
+    slower on TPU; see modulate_lut for the reference-style variant).
+    """
+    *lead, e = bits.shape
+    assert e % qm == 0
+    grouped = bits.reshape(*lead, e // qm, qm).astype(jnp.float32)
+    s = 1.0 - 2.0 * grouped                       # ±1 per bit, MSB first
+    if qm == 1:
+        v = s[..., 0] / np.float32(np.sqrt(2.0))
+        return jax.lax.complex(v, v)
+
+    def axis(sb):
+        nb = sb.shape[-1]
+        lvl = sb[..., nb - 1]
+        for k in range(nb - 2, -1, -1):
+            lvl = sb[..., k] * (2.0 ** (nb - 1 - k) - lvl)
+        return lvl
+
+    norm = np.float32(_NORM[qm])
+    re = axis(s[..., 0::2]) / norm
+    im = axis(s[..., 1::2]) / norm
+    return jax.lax.complex(re, im)
+
+
+def modulate_lut(bits: jnp.ndarray, qm: int) -> jnp.ndarray:
+    """LUT-gather mapper (reference-style modulation_mapper_impl.cpp)."""
     *lead, e = bits.shape
     assert e % qm == 0
     grouped = bits.reshape(*lead, e // qm, qm).astype(jnp.int32)

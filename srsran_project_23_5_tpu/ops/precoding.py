@@ -24,6 +24,20 @@ def layer_demap(layers: jnp.ndarray) -> jnp.ndarray:
     return layers.swapaxes(-1, -2).reshape(*lead, v * mdiv)
 
 
+def layer_demap_llr(llr_layers: jnp.ndarray, qm: int) -> jnp.ndarray:
+    """Per-layer LLRs [..., L, M_l*qm] → codeword LLRs [..., L*M_l*qm].
+
+    Inverse of layer_map at bit granularity: codeword symbol d(L·i + l) is
+    layer l's i-th symbol, so codeword bit (L·i + l)·qm + q = layer bit
+    (l, i·qm + q).
+    """
+    *lead, v, mq = llr_layers.shape
+    m = mq // qm
+    x = llr_layers.reshape(*lead, v, m, qm)
+    x = jnp.swapaxes(x, -3, -2)                       # [..., m, v, qm]
+    return x.reshape(*lead, v * m * qm)
+
+
 def apply_precoding(layers: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """[..., nof_layers, n_re] × w[nof_ports, nof_layers] → [..., nof_ports, n_re]."""
     return jnp.einsum("pl,...lr->...pr", w.astype(layers.dtype), layers)

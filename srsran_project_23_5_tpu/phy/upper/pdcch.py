@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,12 @@ class PdcchConfig:
     nof_symbols: int = 1         # CORESET duration (1..3)
     n_id: int = 1                # pdcch-DMRS-ScramblingID / scrambling id
     n_rnti: int = 0              # scrambling RNTI (C-RNTI UE-specific SS)
+    # interleaved CCE-to-REG mapping (TS 38.211 §7.3.2.2): REG bundles of
+    # L=6 permuted by the (R, C) block interleaver with shift n_shift
+    interleaved: bool = False
+    coreset_nof_prb: int = 48    # CORESET width (sets the bundle count)
+    interleaver_rows: int = 2    # R
+    shift: int = 0               # n_shift (typically the PCI)
 
     @property
     def e(self) -> int:
@@ -72,7 +79,12 @@ class PdcchConfig:
         nregs = self.aggregation_level * 6
         dsym, dsc, msym, msc = [], [], [], []
         for r in range(nregs):
-            prb = self.coreset_start_prb + self.cce_index * 6 + r // self.nof_symbols
+            cce = self.cce_index + r // 6
+            bundle = self._bundle_of(cce)
+            # a bundle spans 6/nof_symbols PRBs × nof_symbols symbols
+            prb = (self.coreset_start_prb
+                   + bundle * (6 // self.nof_symbols)
+                   + (r % 6) // self.nof_symbols)
             sym = self.start_symbol + r % self.nof_symbols
             base = prb * NRE
             ks = np.arange(base, base + NRE)
@@ -83,6 +95,18 @@ class PdcchConfig:
             msc.extend(ks[is_dmrs])
         return (np.asarray(dsym, np.int32), np.asarray(dsc, np.int32),
                 np.asarray(msym, np.int32), np.asarray(msc, np.int32))
+
+    def _bundle_of(self, cce: int) -> int:
+        """CCE → REG-bundle via the §7.3.2.2 block interleaver (bundle
+        size L=6 ⇒ one bundle per CCE); identity when non-interleaved."""
+        if not self.interleaved:
+            return cce
+        nb = (self.coreset_nof_prb * self.nof_symbols) // 6
+        r_rows = self.interleaver_rows
+        assert nb % r_rows == 0, (nb, r_rows)
+        c_cols = nb // r_rows
+        c, r = divmod(cce, r_rows)
+        return (r * c_cols + c + self.shift) % nb
 
 
 def encode_dci(payload: jnp.ndarray, cfg: PdcchConfig) -> jnp.ndarray:
@@ -129,6 +153,61 @@ def pdcch_transmit(payload: jnp.ndarray, cfg: PdcchConfig,
 class PdcchResult:
     payload: jnp.ndarray
     crc_ok: jnp.ndarray
+
+
+def _decode_bits_to_payload(llr: jnp.ndarray, cfg: PdcchConfig
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Descrambled candidate LLRs [E] → (payload [A], crc_ok)."""
+    cw_llr = polar_rm.dematch(llr, cfg.code)
+    u = polar_decoder.decode(cw_llr[None] if cw_llr.ndim == 1 else cw_llr,
+                             cfg.code)
+    c = polar_encoder.extract_message(u, cfg.code.info_set)[0]
+    pi = jnp.asarray(polar_code.input_interleaver(cfg.k))
+    de = jnp.zeros_like(c).at[pi].set(c)
+    payload, crc = de[:cfg.payload_size], de[cfg.payload_size:]
+    rnti_bits = jnp.asarray(
+        [(cfg.rnti >> (15 - i)) & 1 for i in range(16)], dtype=crc.dtype)
+    crc = crc.at[8:].set(crc[8:] ^ rnti_bits)
+    ones = jnp.ones((24,), dtype=payload.dtype)
+    expect = crc_ops.crc(jnp.concatenate([ones, payload])[None], "crc24C")[0]
+    return payload, jnp.all(expect == crc)
+
+
+def pdcch_blind_receive(rx_grid: jnp.ndarray, cfg: PdcchConfig,
+                        cce_indices: jnp.ndarray
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """UE-side blind decode over search-space candidates of ONE
+    aggregation level with the CCE index as a TRACED input: all candidate
+    positions share one compiled program (a per-candidate static config
+    would recompile every slot as the TS 38.213 hashing moves the
+    candidates).  Non-interleaved 1-symbol CORESET: a candidate is a
+    contiguous AL·6-PRB span, so extraction is one dynamic_slice and the
+    k≡1 (mod 4) DM-RS comb is position-independent (spans start at
+    multiples of 72 subcarriers).
+
+    rx_grid: [nsym, nsc] (or [port, nsym, nsc]; port 0 used).
+    Returns (payloads [M, A], crc_ok [M]) over the M candidates.
+    """
+    if rx_grid.ndim == 3:
+        rx_grid = rx_grid[0]
+    assert cfg.nof_symbols == 1
+    row = rx_grid[cfg.start_symbol]
+    width = cfg.aggregation_level * 6 * NRE
+    seq = gold.gold_sequence(
+        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.e)
+    sign = (1.0 - 2.0 * seq.astype(jnp.float32))
+
+    def one(cce):
+        start = cfg.coreset_start_prb * NRE + cce * 6 * NRE
+        seg = jax.lax.dynamic_slice(row, (start,), (width,))
+        quads = seg.reshape(width // 4, 4)
+        data = jnp.concatenate(
+            [quads[:, 0:1], quads[:, 2:4]], axis=1).reshape(-1)
+        nv = jnp.full(data.shape, 0.1, dtype=jnp.float32)
+        llr = modulation.demodulate_soft(data, nv, 2) * sign
+        return _decode_bits_to_payload(llr, cfg)
+
+    return jax.vmap(one)(jnp.asarray(cce_indices, jnp.int32))
 
 
 def pdcch_receive(rx_grid: jnp.ndarray, cfg: PdcchConfig) -> PdcchResult:

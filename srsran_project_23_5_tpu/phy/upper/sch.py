@@ -23,7 +23,8 @@ import numpy as np
 
 import jax
 
-from ...ops import dmrs, equalizer, estimator, gold, modulation
+from ...ops import (dmrs, equalizer, estimator, gold, modulation,
+                    precoding)
 from ...ops.ldpc import (decoder, decoder_pallas, encoder, encoder_pallas,
                          rate_match, segmentation)
 from ...ran import ldpc_params
@@ -33,11 +34,17 @@ from . import ulsch
 
 @dataclasses.dataclass(frozen=True)
 class ShConfig:
-    """Static configuration of one PDSCH/PUSCH allocation (single layer)."""
+    """Static configuration of one PDSCH/PUSCH allocation.
+
+    nof_layers 1 (SISO/SIMO) or 2 (spatial multiplexing; DM-RS ports 0/1
+    CDM-multiplexed with the frequency OCC, requires
+    dmrs_cdm_groups_without_data == 2 and ≥2 rx ports on receive).
+    """
     rnti: int
     tbs: int                     # transport block size (bits)
     qm: int                      # modulation order (2/4/6/8)
     rv: int = 0
+    nof_layers: int = 1
     # allocation
     prb_start: int = 0
     nof_prb: int = 106
@@ -50,6 +57,9 @@ class ShConfig:
     nid_dmrs: int = 1
     n_scid: int = 0
     slot_in_frame: int = 0
+    # per-symbol time interpolation across DM-RS symbols (drifting
+    # channels); default False = reference's average_impl behavior
+    time_interp: bool = False
     # UCI multiplexed on PUSCH (TS 38.212 §6.2.7); empty for PDSCH
     uci: ulsch.UciOnPusch = ulsch.UciOnPusch()
 
@@ -77,7 +87,7 @@ class ShConfig:
 
     @functools.cached_property
     def nof_bits(self) -> int:
-        return self.nof_data_re * self.qm
+        return self.nof_data_re * self.qm * self.nof_layers
 
     @functools.cached_property
     def code_rate(self) -> float:
@@ -91,7 +101,7 @@ class ShConfig:
     @functools.cached_property
     def uci_maps_key(self) -> tuple:
         u = self.uci
-        return (self.nof_prb, self.qm, 1, self.first_symbol,
+        return (self.nof_prb, self.qm, self.nof_layers, self.first_symbol,
                 self.nof_symbols, self.dmrs_symbols,
                 self.dmrs_cdm_groups_without_data, u.g_harq_ack,
                 u.g_csi_part1, u.g_csi_part2, u.g_harq_ack_rvd)
@@ -111,7 +121,8 @@ class ShConfig:
     @functools.cached_property
     def cb_lengths(self) -> list[int]:
         return ldpc_params.rate_match_lengths(
-            self.g_sch, self.segments.nof_segments, self.qm, 1)
+            self.g_sch, self.segments.nof_segments, self.qm,
+            self.nof_layers)
 
     @property
     def scrambling_cinit(self) -> int:
@@ -146,12 +157,40 @@ class ShConfig:
     def sc_bounds(self) -> tuple[int, int]:
         return self.prb_start * NRE, (self.prb_start + self.nof_prb) * NRE
 
+    @functools.cached_property
+    def time_weights(self) -> list[tuple[int, int, float]]:
+        """Per-symbol (d0, d1, w1) linear time-interp coefficients between
+        bracketing DM-RS symbols: h(l) = (1-w1)·h_dmrs[d0] + w1·h_dmrs[d1]
+        (clamped extrapolation at slot edges, interpolator_linear_impl)."""
+        ds = self.dmrs_symbols
+        out = []
+        for l in range(self.first_symbol,
+                       self.first_symbol + self.nof_symbols):
+            if l <= ds[0] or len(ds) == 1:
+                out.append((0, 0, 0.0))
+            elif l >= ds[-1]:
+                out.append((len(ds) - 1, len(ds) - 1, 0.0))
+            else:
+                i = max(j for j in range(len(ds)) if ds[j] <= l)
+                w1 = (l - ds[i]) / (ds[i + 1] - ds[i])
+                out.append((i, i + 1, float(w1)))
+        return out
+
 
 def _dmrs_pilots(cfg: ShConfig) -> jnp.ndarray:
-    """[ndmrs_sym, 6*nof_prb] pilot values."""
+    """[ndmrs_sym, 6*nof_prb] pilot values (DM-RS port 0)."""
     cinits = jnp.asarray([cfg.dmrs_cinit(l) for l in cfg.dmrs_symbols],
                          dtype=jnp.uint32)
     return dmrs.pilot_values(cinits, cfg.prb_start, cfg.nof_prb)
+
+
+def _dmrs_occ(cfg: ShConfig, layer: int) -> np.ndarray:
+    """Frequency OCC w_f of DM-RS port `layer` over the pilot index
+    (TS 38.211 Table 6.4.1.1.3-1: [+1,+1] port 0, [+1,-1] port 1)."""
+    npil = 6 * cfg.nof_prb
+    if layer == 0:
+        return np.ones(npil, np.float32)
+    return np.where(np.arange(npil) % 2 == 0, 1.0, -1.0).astype(np.float32)
 
 
 def _encode_sch(tb_bits: jnp.ndarray, cfg: ShConfig,
@@ -171,15 +210,16 @@ def _encode_sch(tb_bits: jnp.ndarray, cfg: ShConfig,
         seg.segment_length, tuple(cfg.cb_lengths), cfg.qm)    # [G], 1 gather
 
 
-def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray
-            ) -> jnp.ndarray:
+def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
+            pilots: jnp.ndarray | None = None) -> jnp.ndarray:
     """Structured slice-based RE mapping (no scatters): each symbol of the
     contiguous allocation is one row write; DM-RS symbols interleave the
     comb-2 pilots with data (CDM-1) or zeros (CDM-2).  Public so profilers
     measure exactly the production mapping."""
     lo, hi = cfg.sc_bounds
     width = hi - lo
-    pilots = _dmrs_pilots(cfg)                           # [ndmrs, width/2]
+    if pilots is None:
+        pilots = _dmrs_pilots(cfg)                       # [ndmrs, width/2]
     dmrs_i = {l: i for i, l in enumerate(cfg.dmrs_symbols)}
     pos = 0
     for l, kind in cfg.symbol_plan:
@@ -198,20 +238,50 @@ def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray
 
 
 def _scramble_modulate_map(codeword: jnp.ndarray, cfg: ShConfig,
-                           grid: jnp.ndarray) -> jnp.ndarray:
+                           grid: jnp.ndarray,
+                           w: jnp.ndarray | None = None) -> jnp.ndarray:
     seq = gold.gold_sequence(
         jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.nof_bits)
     scrambled = codeword.astype(jnp.int8) ^ seq
     syms = modulation.modulate(scrambled, cfg.qm)        # [n_re]
-    return map_res(syms, cfg, grid)
+    if cfg.nof_layers == 1:
+        return map_res(syms, cfg, grid)
+    # Spatial multiplexing: layer map (TS 38.211 §7.3.1.3), per-layer RE
+    # mapping with OCC'd DM-RS, then precode layer planes onto antenna
+    # ports (channel_precoder_avx2.cpp → one einsum).  DM-RS rides the
+    # layer planes so pilots are precoded exactly like data.
+    assert cfg.dmrs_cdm_groups_without_data >= 2, \
+        "2-layer mapping requires CDM groups without data = 2"
+    assert grid.ndim == 3, "MIMO transmit needs a [port, nsym, nsc] grid"
+    nports = grid.shape[0]
+    lay = precoding.layer_map(syms, cfg.nof_layers)      # [L, n_re/L]
+    base_pilots = _dmrs_pilots(cfg)
+    planes = []
+    for l in range(cfg.nof_layers):
+        occ = jnp.asarray(_dmrs_occ(cfg, l))
+        plane = map_res(lay[l], cfg,
+                        jnp.zeros(grid.shape[1:], grid.dtype),
+                        pilots=base_pilots * occ)
+        planes.append(plane)
+    layer_grids = jnp.stack(planes)                      # [L, nsym, nsc]
+    if w is None:
+        w = jnp.asarray(precoding.identity_precoder(nports, cfg.nof_layers))
+    return grid + precoding.apply_precoding(
+        layer_grids.reshape(cfg.nof_layers, -1), w
+    ).reshape(nports, *grid.shape[1:])
 
 
 def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
                    grid: jnp.ndarray,
-                   encoder_backend: str = "auto") -> jnp.ndarray:
-    """Process one transport block onto a [nsym, nsc] (or [port, ...]) grid."""
+                   encoder_backend: str = "auto",
+                   w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Process one transport block onto a [nsym, nsc] (or [port, ...]) grid.
+
+    w: optional [nof_ports, nof_layers] precoding matrix (identity layer→
+    port mapping when None).
+    """
     codeword = _encode_sch(tb_bits, cfg, encoder_backend)
-    return _scramble_modulate_map(codeword, cfg, grid)
+    return _scramble_modulate_map(codeword, cfg, grid, w=w)
 
 
 def pusch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
@@ -251,6 +321,8 @@ class PuschResult:
     rsrp: jnp.ndarray
     sinr_db: jnp.ndarray
     evm: jnp.ndarray | None = None
+    # time alignment: delay in samples = ta_norm * nfft (per rx port mean)
+    ta_norm: jnp.ndarray | None = None
     # UCI on PUSCH (empty arrays when not configured)
     ack_bits: jnp.ndarray | None = None
     ack_valid: jnp.ndarray | None = None
@@ -285,6 +357,10 @@ class PuschDemod:
     ack_llr: jnp.ndarray           # [G_ack] (empty when no UCI)
     csi1_llr: jnp.ndarray
     csi2_llr: jnp.ndarray
+    # mean post-equalization noise variance (unit Es ⇒ SINR = 1/this);
+    # captures rx-combining / MIMO separation gain, unlike rsrp/noise_var
+    post_noise_var: jnp.ndarray | None = None
+    ta_norm: jnp.ndarray | None = None
 
     # tuple-style unpacking kept for the pre-UCI callers/tests
     def __iter__(self):
@@ -310,18 +386,67 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
     rx_pilots = jnp.stack(
         [rx_grid[..., l, lo:hi][..., 0::2] for l in cfg.dmrs_symbols],
         axis=-2)                                          # [nrx, ndmrs, npil]
-    est = estimator.estimate_comb2(rx_pilots, tx_pilots)
+    if cfg.nof_layers == 2:
+        # CDM-OCC despread → per-layer channel [nrx, 2, width], then n×2
+        # joint ZF per RE (equalize_zf_2x2.cpp generalized).
+        est = estimator.estimate_comb2_occ2(rx_pilots, tx_pilots)
+        y_rows, h_rows = [], []
+        for l, kind in cfg.symbol_plan:
+            if kind != "full":
+                continue                                  # CDM=2: dmrs-only
+            y_rows.append(rx_grid[..., l, lo:hi])
+            h_rows.append(est.h_alloc)
+        y = jnp.concatenate(y_rows, axis=-1)              # [nrx, n_re]
+        h = jnp.concatenate(h_rows, axis=-1)              # [nrx, 2, n_re]
+        noise_var = jnp.maximum(jnp.mean(est.noise_var), 1e-9)
+        x_lay, nv_lay = equalizer.zf_nx2(y, h, noise_var)  # [2, n_re] each
+        evm = evm_calculate(x_lay, cfg.qm)
+        llr_lay = modulation.demodulate_soft(x_lay, nv_lay, cfg.qm)
+        llr = precoding.layer_demap_llr(llr_lay, cfg.qm)  # [nof_bits]
+        seq = gold.gold_sequence(
+            jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32),
+            cfg.nof_bits)
+        llr = llr * (1.0 - 2.0 * seq.astype(jnp.float32))
+        llr = jnp.clip(llr, -float(LLR_MAX), float(LLR_MAX))
+        if cfg.uci.any:
+            sch_llr, ack_llr, csi1_llr, csi2_llr = ulsch.demultiplex(
+                llr, cfg.uci_maps)
+        else:
+            sch_llr, ack_llr = llr, llr[:0]
+            csi1_llr, csi2_llr = llr[:0], llr[:0]
+        seg = cfg.segments
+        full = rate_match.dematch_tb(
+            sch_llr, seg.base_graph, seg.lifting_size, cfg.rv,
+            seg.payload_length, seg.segment_length, tuple(cfg.cb_lengths),
+            cfg.qm)
+        return PuschDemod(llr_full=full, noise_var=noise_var,
+                          rsrp=jnp.mean(est.rsrp), evm=evm,
+                          ack_llr=ack_llr, csi1_llr=csi1_llr,
+                          csi2_llr=csi2_llr,
+                          post_noise_var=jnp.mean(nv_lay))
+    est = estimator.estimate_comb2(rx_pilots, tx_pilots,
+                                   time_interp=cfg.time_interp)
+
+    def h_for_symbol(l: int) -> jnp.ndarray:
+        if not cfg.time_interp:
+            return est.h_alloc
+        d0, d1, w1 = cfg.time_weights[l - cfg.first_symbol]
+        h0 = est.h_dmrs[..., d0, :]
+        if w1 == 0.0:
+            return h0
+        return (1.0 - w1) * h0 + w1 * est.h_dmrs[..., d1, :]
 
     # --- extract + equalize data REs, symbol rows in mapping order
     y_rows, h_rows = [], []
     for l, kind in cfg.symbol_plan:
         row = rx_grid[..., l, lo:hi]
+        h_sym = h_for_symbol(l)
         if kind == "full":
             y_rows.append(row)
-            h_rows.append(est.h_alloc)
+            h_rows.append(h_sym)
         elif kind == "comb_data":
             y_rows.append(row[..., 1::2])
-            h_rows.append(est.h_alloc[..., 1::2])
+            h_rows.append(h_sym[..., 1::2])
     y = jnp.concatenate(y_rows, axis=-1)                  # [nrx, n_re]
     h = jnp.concatenate(h_rows, axis=-1)
     noise_var = jnp.maximum(jnp.mean(est.noise_var), 1e-9)
@@ -352,7 +477,9 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
         cfg.qm)                                           # [C, Nfull]
     return PuschDemod(llr_full=full, noise_var=noise_var,
                       rsrp=jnp.mean(est.rsrp), evm=evm, ack_llr=ack_llr,
-                      csi1_llr=csi1_llr, csi2_llr=csi2_llr)
+                      csi1_llr=csi1_llr, csi2_llr=csi2_llr,
+                      post_noise_var=jnp.mean(post_nv),
+                      ta_norm=jnp.mean(est.ta_norm))
 
 
 def pusch_decode(llr_full: jnp.ndarray, cfg: ShConfig,
@@ -374,12 +501,19 @@ def pusch_decode(llr_full: jnp.ndarray, cfg: ShConfig,
                                   nof_iterations=nof_ldpc_iterations)
     tb, tb_ok, cb_ok = segmentation.desegment_rx(bits, seg)
     tb_ok = tb_ok & jnp.all(ok)
-    sinr = rsrp / noise_var
+    # Post-equalization SINR (EVM→SINR analogue, pusch_processor_impl.cpp):
+    # unit symbol energy ⇒ SINR = 1/mean(post-eq noise var).  Falls back to
+    # rsrp/noise_var when only combined-LLR HARQ state is available.
+    if demod is not None and demod.post_noise_var is not None:
+        sinr = 1.0 / jnp.maximum(demod.post_noise_var, 1e-12)
+    else:
+        sinr = rsrp / noise_var
     res = PuschResult(
         tb_bits=tb, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok & ok,
         noise_var=noise_var, rsrp=rsrp,
         sinr_db=10.0 * jnp.log10(jnp.maximum(sinr, 1e-12)),
-        evm=demod.evm if demod is not None else None)
+        evm=demod.evm if demod is not None else None,
+        ta_norm=demod.ta_norm if demod is not None else None)
     if demod is not None and cfg.uci.any:
         u = cfg.uci
         if u.nof_harq_ack_bits:

@@ -14,6 +14,7 @@ from typing import Optional
 from ..ran import mcs_tables, tbs as tbs_mod
 from .config import CellConfig
 from .harq import HarqState
+from .pdcch_alloc import PdcchSlotAllocator
 from .results import DlGrant, PucchGrant, RarInfo, SlotResult, UlGrant
 from .ue_context import UeContext
 
@@ -159,18 +160,26 @@ class CellScheduler:
         used_ul = sum(g.prb_len for g in res.ul_grants)
         ul_alloc = _PrbAllocator(self.cfg.nof_prb, self.cfg.pucch_prbs)
         ul_alloc.next_free += used_ul
+        # per-slot CCE bitmap: every DCI competes for the CORESET's CCEs
+        # (pdcch_resource_allocator_impl.cpp)
+        self._pdcch = PdcchSlotAllocator(self.cfg.nof_cces)
 
         if dl_ok:
             # 1. SSB
             if slot % self.cfg.ssb_period_slots == 0:
                 res.ssb = True
+                # keep PDSCH out of the SSB's PRB/symbol footprint
+                dl_alloc.alloc(self.cfg.ssb_prbs)
             # 2. SIB1
             if slot % self.cfg.sib1_period_slots == 2:
-                prbs = dl_alloc.alloc(4)
+                cce = self._alloc_cce(SI_RNTI, slot)
+                prbs = dl_alloc.alloc(4) if cce is not None else None
                 if prbs:
                     tbs, qm, r = self._dl_tbs_bytes(5, prbs[1])
                     res.sib1 = DlGrant(SI_RNTI, 0, prbs[0], prbs[1], 5, qm,
-                                       r, tbs, 0, False, 0, is_sib=True)
+                                       r, tbs, 0, False, 0, is_sib=True,
+                                       cce_index=cce,
+                                       aggregation_level=self._al)
             # 4. RA: serve pending RACH with RAR + Msg3 grant
             self._schedule_ra(slot, res, dl_alloc)
             # 6a. UE DL
@@ -184,6 +193,15 @@ class CellScheduler:
             self._schedule_ue_ul(slot, res)
         return res
 
+    # ------------------------------------------------------------- PDCCH
+    @property
+    def _al(self) -> int:
+        return self.cfg.pdcch_aggregation_level
+
+    def _alloc_cce(self, rnti: int, slot: int) -> Optional[int]:
+        return self._pdcch.allocate(rnti, slot, self._al,
+                                    self.cfg.pdcch_candidates)
+
     # --------------------------------------------------------------- RA
     def _schedule_ra(self, slot: int, res: SlotResult,
                      dl_alloc: _PrbAllocator) -> None:
@@ -192,13 +210,16 @@ class CellScheduler:
             if slot - rach_slot > self.cfg.ra_window_slots:
                 self._pending_rach.popleft()       # window expired
                 continue
+            ra_rnti = 1 + occasion
+            cce = self._alloc_cce(ra_rnti, slot)
+            if cce is None:
+                return
             prbs = dl_alloc.alloc(2)
             if prbs is None:
                 return
             self._pending_rach.popleft()
             tc_rnti = self._next_tc_rnti
             self._next_tc_rnti += 1
-            ra_rnti = 1 + occasion
             msg3_slot = self._next_ul_slot(slot + self.cfg.k2)
             # Msg3 must fit the CCCH RRC container (~64 B here)
             msg3_prbs = self._prbs_for_bytes(64, 2, dl=False)
@@ -214,7 +235,8 @@ class CellScheduler:
                                     msg3_slot, msg3))
             res.dl_grants.append(DlGrant(ra_rnti, 0, prbs[0], prbs[1], 2,
                                          qm_r, r_r, rar_tbs, 0, False, 0,
-                                         is_rar=True))
+                                         is_rar=True, cce_index=cce,
+                                         aggregation_level=self._al))
 
     def _next_ul_slot(self, slot: int) -> int:
         for _ in range(self.cfg.slots_per_frame):
@@ -244,6 +266,9 @@ class CellScheduler:
             # retransmissions first (same PRB count, rv cycling)
             p = ue.dl_harqs.find_pending_retx()
             if p is not None:
+                cce = self._alloc_cce(rnti, slot)
+                if cce is None:
+                    continue                # PDCCH blocked this slot
                 prbs = alloc.alloc(p.prbs[1])
                 if prbs is None:
                     continue
@@ -252,7 +277,8 @@ class CellScheduler:
                 qm, r = mcs_tables.mcs_to_qm_rate(p.mcs, self.cfg.mcs_table)
                 res.dl_grants.append(DlGrant(
                     rnti, p.pid, prbs[0], prbs[1], p.mcs, qm, r,
-                    p.tbs_bytes, p.rv, p.ndi, self.cfg.k1))
+                    p.tbs_bytes, p.rv, p.ndi, self.cfg.k1, cce_index=cce,
+                    aggregation_level=self._al))
                 self._reserve_pucch(rnti, ack_slot)
                 continue
             demand = ue.total_dl_buffer()
@@ -260,6 +286,9 @@ class CellScheduler:
                 continue
             p = ue.dl_harqs.find_empty()
             if p is None:
+                continue
+            cce = self._alloc_cce(rnti, slot)
+            if cce is None:
                 continue
             mcs = self.cfg.fixed_dl_mcs
             want = self._prbs_for_bytes(max(demand + 8, 16), mcs, dl=True)
@@ -273,7 +302,8 @@ class CellScheduler:
             p.new_tx(tbs, mcs, prbs, ack_slot)
             res.dl_grants.append(DlGrant(
                 rnti, p.pid, prbs[0], prbs[1], mcs, qm, r, tbs, 0, p.ndi,
-                self.cfg.k1, is_conres=ue.pending_conres))
+                self.cfg.k1, is_conres=ue.pending_conres, cce_index=cce,
+                aggregation_level=self._al))
             ue.dl_bytes += tbs
             self._reserve_pucch(rnti, ack_slot)
 
@@ -298,18 +328,27 @@ class CellScheduler:
             ue = self.ues[rnti]
             p = ue.ul_harqs.find_pending_retx()
             if p is not None:
+                cce = self._alloc_cce(rnti, slot)
+                if cce is None:
+                    continue
                 prbs = alloc.alloc(p.prbs[1])
                 if prbs is None:
                     continue
                 p.new_retx(pusch_slot)
                 qm, r = mcs_tables.mcs_to_qm_rate(p.mcs, self.cfg.mcs_table)
-                pending.append(UlGrant(rnti, p.pid, prbs[0], prbs[1], p.mcs,
-                                       qm, r, p.tbs_bytes, p.rv, p.ndi))
+                g = UlGrant(rnti, p.pid, prbs[0], prbs[1], p.mcs,
+                            qm, r, p.tbs_bytes, p.rv, p.ndi, cce_index=cce,
+                            aggregation_level=self._al)
+                pending.append(g)
+                res.ul_dcis.append(g)
                 continue
             if ue.ul_buffer_bytes <= 0:
                 continue
             p = ue.ul_harqs.find_empty()
             if p is None:
+                continue
+            cce = self._alloc_cce(rnti, slot)
+            if cce is None:
                 continue
             mcs = self.cfg.fixed_ul_mcs
             want = self._prbs_for_bytes(ue.ul_buffer_bytes + 8, mcs,
@@ -319,6 +358,9 @@ class CellScheduler:
                 continue
             tbs, qm, r = self._ul_tbs_bytes(mcs, prbs[1])
             p.new_tx(tbs, mcs, prbs, pusch_slot)
-            pending.append(UlGrant(rnti, p.pid, prbs[0], prbs[1], mcs, qm,
-                                   r, tbs, 0, p.ndi))
+            g = UlGrant(rnti, p.pid, prbs[0], prbs[1], mcs, qm,
+                        r, tbs, 0, p.ndi, cce_index=cce,
+                        aggregation_level=self._al)
+            pending.append(g)
+            res.ul_dcis.append(g)
             ue.ul_bytes += tbs

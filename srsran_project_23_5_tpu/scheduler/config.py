@@ -41,11 +41,20 @@ class CellConfig:
     fixed_dl_mcs: int = 20               # link adaptation: fixed in v1
     fixed_ul_mcs: int = 15
     max_prb_per_ue: int = 0              # 0 = unlimited
-    pdsch_symbols: int = 12              # symbols for data (2 for PDCCH/DMRS)
-    pusch_symbols: int = 13
-    dl_dmrs_per_prb: int = 12            # DM-RS REs/PRB (1 symbol, type 1)
-    ul_dmrs_per_prb: int = 12
+    # PDSCH occupies symbols 2..13 (symbols 0-1 are the PDCCH control
+    # region); 3 DM-RS symbols with CDM-groups-without-data = 2 cost the
+    # full 12 RE/PRB each ⇒ TBS geometry matches the transmitted shape
+    pdsch_symbols: int = 12
+    pusch_symbols: int = 14
+    dl_dmrs_per_prb: int = 36            # DM-RS REs/PRB (3 symbols, CDM=2)
+    ul_dmrs_per_prb: int = 36
     pucch_prbs: int = 2                  # PRBs reserved at band edges
+    # CORESET#0-style control region: `coreset_prbs` PRBs × 1 symbol at
+    # symbol 0 ⇒ coreset_prbs // 6 CCEs shared by every DCI of the slot
+    coreset_prbs: int = 48
+    pdcch_candidates: int = 4            # candidates per aggregation level
+    pdcch_aggregation_level: int = 4
+    ssb_prbs: int = 21                   # SSB span (240 SC + rounding)
     # Allocation sizes are rounded up to these buckets so every grant maps
     # to one of a few compiled PHY shapes (SURVEY §7: bucketing+padding
     # replaces the reference's dynamic per-PDU dispatch).
@@ -54,6 +63,10 @@ class CellConfig:
     @property
     def slots_per_frame(self) -> int:
         return 10 * (1 << self.mu)
+
+    @property
+    def nof_cces(self) -> int:
+        return min(self.coreset_prbs, self.nof_prb) // 6
 
     def is_dl_slot(self, slot: int) -> bool:
         return self.tdd is None or self.tdd.is_dl(slot % self.slots_per_frame)

@@ -22,6 +22,9 @@ class DlGrant:
     is_rar: bool = False
     is_sib: bool = False
     is_conres: bool = False
+    # PDCCH resources carrying this grant's DCI (CCE-allocated per slot)
+    cce_index: int = 0
+    aggregation_level: int = 4
 
 
 @dataclasses.dataclass
@@ -37,6 +40,8 @@ class UlGrant:
     rv: int
     ndi: bool
     is_msg3: bool = False
+    cce_index: int = 0
+    aggregation_level: int = 4
 
 
 @dataclasses.dataclass
@@ -66,4 +71,7 @@ class SlotResult:
     rars: list[RarInfo] = dataclasses.field(default_factory=list)
     dl_grants: list[DlGrant] = dataclasses.field(default_factory=list)
     ul_grants: list[UlGrant] = dataclasses.field(default_factory=list)
+    # UL grants whose DCI 0_0 goes out THIS slot (PUSCH lands at +k2);
+    # becomes FAPI UL_DCI.request (messages.h ul_dci_request)
+    ul_dcis: list[UlGrant] = dataclasses.field(default_factory=list)
     pucch: list[PucchGrant] = dataclasses.field(default_factory=list)

@@ -1,0 +1,111 @@
+"""Estimator fidelity: time alignment + time interpolation (VERDICT r2
+item 4; reference port_channel_estimator_average_impl.cpp:97-225)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srsran_project_23_5_tpu.models import gnb_flagship
+from srsran_project_23_5_tpu.phy.lower import ofdm
+from srsran_project_23_5_tpu.phy.upper import sch
+from srsran_project_23_5_tpu.ran import numerology
+
+
+def _carrier(time_interp=False, qm=4, rate=0.4, nof_prb=52):
+    from srsran_project_23_5_tpu.ran import tbs as tbs_mod
+    tbs = tbs_mod.tbs_calculate(14, 36, 0, rate, qm, 1, nof_prb)
+    return gnb_flagship.CarrierConfig(
+        mu=1, nfft=numerology.min_nfft(nof_prb), nof_prb=nof_prb,
+        sh=sch.ShConfig(rnti=0x4601, tbs=tbs, qm=qm, nof_prb=nof_prb,
+                        dmrs_symbols=(2, 7, 11), time_interp=time_interp))
+
+
+def test_ta_estimate_integer_delay():
+    """A CP/2 sample delay is recovered within ±0.5 samples and the TB
+    still decodes (the derotate-interp-rerotate estimator tracks the
+    ramp)."""
+    cfg = _carrier()
+    rng = np.random.default_rng(0)
+    tb = jnp.asarray(rng.integers(0, 2, size=cfg.sh.tbs).astype(np.int8))
+    delay = 36  # CP is 72 samples at nfft=1024 (mu=1, 52 PRB)
+
+    @jax.jit
+    def run(tb):
+        bb = gnb_flagship.tx_slot(tb, cfg)
+        delayed = jnp.concatenate(
+            [jnp.zeros((delay,), bb.dtype), bb[:-delay]])
+        g = ofdm.demodulate_slot(delayed, cfg.nsc, cfg.mu, cfg.nfft)
+        r = sch.pusch_receive(g[None], cfg.sh, 6, decoder_backend="xla")
+        return r.tb_crc_ok, r.ta_norm * cfg.nfft
+
+    ok, ta = run(tb)
+    assert bool(ok)
+    assert abs(float(ta) - delay) < 0.5, float(ta)
+
+
+def test_ta_zero_for_aligned_signal():
+    cfg = _carrier()
+    rng = np.random.default_rng(1)
+    tb = jnp.asarray(rng.integers(0, 2, size=cfg.sh.tbs).astype(np.int8))
+
+    @jax.jit
+    def run(tb):
+        bb = gnb_flagship.tx_slot(tb, cfg)
+        g = ofdm.demodulate_slot(bb, cfg.nsc, cfg.mu, cfg.nfft)
+        r = sch.pusch_receive(g[None], cfg.sh, 4, decoder_backend="xla")
+        return r.tb_crc_ok, r.ta_norm * cfg.nfft
+
+    ok, ta = run(tb)
+    assert bool(ok)
+    assert abs(float(ta)) < 0.5
+
+
+def _drift_grid(cfg, tb, drift_hz, sigma, rng):
+    """TX grid through a phase-drifting channel (e.g. residual CFO)."""
+    grid = sch.pdsch_transmit(tb, cfg.sh,
+                              jnp.zeros((14, cfg.nsc), jnp.complex64),
+                              encoder_backend="xla")
+    # symbol start times over the 0.5 ms slot
+    fs = numerology.sample_rate_hz(cfg.mu, cfg.nfft)
+    starts = np.cumsum([0] + [cfg.nfft + int(c) for c in
+                              numerology.cp_lengths(cfg.mu, cfg.nfft, 0)])
+    t = starts[:14] / fs
+    rot = np.exp(2j * np.pi * drift_hz * t).astype(np.complex64)
+    noisy = grid * jnp.asarray(rot)[:, None]
+    nz = sigma / np.sqrt(2) * (
+        rng.standard_normal(noisy.shape)
+        + 1j * rng.standard_normal(noisy.shape)).astype(np.complex64)
+    return noisy + jnp.asarray(nz)
+
+
+def test_time_interp_survives_phase_drift():
+    """At 64QAM a 300 Hz drift breaks the time-constant (average)
+    estimator but decodes with per-symbol time interpolation."""
+    rng = np.random.default_rng(2)
+    cfg_avg = _carrier(time_interp=False, qm=6, rate=0.65)
+    cfg_ti = _carrier(time_interp=True, qm=6, rate=0.65)
+    tb = jnp.asarray(rng.integers(0, 2, size=cfg_avg.sh.tbs).astype(np.int8))
+    sigma = 10 ** (-22.0 / 20)   # grid-domain noise, 22 dB
+    rx = _drift_grid(cfg_avg, tb, 300.0, sigma, rng)
+
+    rcv = jax.jit(lambda g, c=cfg_avg.sh: sch.pusch_receive(
+        g[None], c, 8, decoder_backend="xla").tb_crc_ok)
+    rcv_ti = jax.jit(lambda g, c=cfg_ti.sh: sch.pusch_receive(
+        g[None], c, 8, decoder_backend="xla").tb_crc_ok)
+    ok_avg = bool(rcv(rx))
+    ok_ti = bool(rcv_ti(rx))
+    assert ok_ti, "time interpolation failed to track a 300 Hz drift"
+    assert not ok_avg, (
+        "average estimator unexpectedly survived 300 Hz drift — "
+        "tighten this test's drift rate")
+
+
+def test_time_interp_matches_average_for_static_channel():
+    """No drift ⇒ both estimator modes decode."""
+    rng = np.random.default_rng(3)
+    cfg_ti = _carrier(time_interp=True, qm=4, rate=0.4)
+    tb = jnp.asarray(rng.integers(0, 2, size=cfg_ti.sh.tbs).astype(np.int8))
+    rx = _drift_grid(cfg_ti, tb, 0.0, 10 ** (-15.0 / 20), rng)
+    ok = jax.jit(lambda g: sch.pusch_receive(
+        g[None], cfg_ti.sh, 6, decoder_backend="xla").tb_crc_ok)(rx)
+    assert bool(ok)

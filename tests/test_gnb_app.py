@@ -42,6 +42,21 @@ def test_gnb_app_mac_level_run():
     assert any(str(rep["ue_rnti"]) in ind for ind in gnb.ric.indications)
 
 
+def test_gnb_app_phy_loopback_dci_over_grid():
+    """Full app with the real PHY in the loop: SSB + PDCCH traverse the
+    resource grid and the UE BLIND-DECODES its DCIs (search-space
+    candidates, CRC/RNTI match) before decoding PDSCH — no side-channel
+    grant knowledge (VERDICT r2 item 7)."""
+    cfg = GnbConfig(slots=160, phy="loopback", platform="cpu",
+                    ue_dl_packets=2, ue_ul_packets=2, snr_db=28.0,
+                    nof_prb=52)
+    gnb = Gnb(cfg)
+    rep = gnb.run()
+    assert rep["ue_rrc_state"] == rrc.RrcUeState.ACTIVE
+    assert rep["ue_dl_rx_packets"] == 2, rep
+    assert rep["core_ul_rx_packets"] == 2, rep
+
+
 def test_fapi_translation_roundtrip():
     cell = CellConfig(nof_prb=52)
     mac = MacCellProcessor(cell)
@@ -50,8 +65,10 @@ def test_fapi_translation_roundtrip():
     bearer.handle_sdu(b"q" * 300)
     out = mac.handle_slot_indication(1)
     tr = MacToFapiTranslator(cell)
-    dl, tx, ul = tr.translate(out, sfn=0, slot=1)
+    dl, tx, ul, ul_dci = tr.translate(out, sfn=0, slot=1)
     assert len(dl.pdsch_pdus) == len(tx.transport_blocks) == 1
+    # every DL grant's DCI rides a CCE-allocated PDCCH PDU
+    assert len(dl.pdcch_pdus) >= len(dl.pdsch_pdus)
     cfg = dl.pdsch_pdus[0].config
     g = out.result.dl_grants[0]
     assert cfg.tbs == g.tbs_bytes * 8 and cfg.qm == g.qm

@@ -71,7 +71,9 @@ def test_dl_grant_for_buffered_ue():
     res = s.run_slot(1)
     assert len(res.dl_grants) == 1
     g = res.dl_grants[0]
-    assert g.rnti == 0x4601 and g.tbs_bytes >= 5000 and g.rv == 0
+    cell_cap = s._dl_tbs_bytes(s.cfg.fixed_dl_mcs, s.cfg.nof_prb)[0]
+    assert g.rnti == 0x4601 and g.tbs_bytes >= min(5000, cell_cap)
+    assert g.rv == 0
     # PUCCH reserved k1 slots later
     res_ack = None
     for t in range(2, 10):

@@ -110,3 +110,79 @@ def test_ssb_full_loopback():
     wrong = ssb.SsbConfig(pci=78, ssb_idx=1, lmax=8, sfn=42)
     _, ok_wrong = ssb.ssb_receive_pbch(rx, wrong, noise_var=0.01)
     assert not bool(ok_wrong)
+
+
+# ---------------------------------------------------------------- r3: CCE
+# allocation, interleaved CORESET, dynamic blind decode, DCI codec
+
+def test_pdcch_interleaved_coreset_roundtrip():
+    """TX with the §7.3.2.2 REG-bundle interleaver; static RX recovers the
+    DCI; the interleaved REs differ from the non-interleaved layout."""
+    from srsran_project_23_5_tpu.phy.upper import pdcch as p
+    rng = np.random.default_rng(4)
+    payload = rng.integers(0, 2, size=20).astype(np.int8)
+    base = dict(rnti=0x4601, payload_size=20, aggregation_level=4,
+                cce_index=2, n_id=7, n_rnti=0x4601)
+    cfg_i = p.PdcchConfig(**base, interleaved=True, coreset_nof_prb=48,
+                          shift=7)
+    cfg_n = p.PdcchConfig(**base)
+    grid = jnp.zeros((14, 48 * 12), dtype=jnp.complex64)
+    gi = p.pdcch_transmit(jnp.asarray(payload), cfg_i, grid)
+    gn = p.pdcch_transmit(jnp.asarray(payload), cfg_n, grid)
+    assert not np.allclose(np.asarray(gi), np.asarray(gn))
+    res = p.pdcch_receive(gi, cfg_i)
+    assert bool(res.crc_ok)
+    assert np.array_equal(np.asarray(res.payload), payload)
+
+
+def test_pdcch_blind_receive_dynamic_cce():
+    """One compiled program scans all candidates; finds the DCI at its
+    CCE, rejects empty candidates, rejects a foreign RNTI."""
+    import jax
+    from srsran_project_23_5_tpu.phy.upper import pdcch as p
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 2, size=24).astype(np.int8)
+    cfg = p.PdcchConfig(rnti=0x17, payload_size=24, aggregation_level=2,
+                        cce_index=4, n_id=3, n_rnti=0x17)
+    grid = jnp.zeros((14, 52 * 12), dtype=jnp.complex64)
+    grid = p.pdcch_transmit(jnp.asarray(payload), cfg, grid)
+    cands = jnp.asarray([0, 2, 4, 6], jnp.int32)
+    payloads, ok = jax.jit(
+        lambda g, c: p.pdcch_blind_receive(g, cfg, c))(grid, cands)
+    ok = np.asarray(ok)
+    assert list(ok) == [False, False, True, False]
+    assert np.array_equal(np.asarray(payloads)[2], payload)
+    other = p.PdcchConfig(rnti=0x99, payload_size=24, aggregation_level=2,
+                          cce_index=4, n_id=3, n_rnti=0x99)
+    _, ok2 = jax.jit(
+        lambda g, c: p.pdcch_blind_receive(g, other, c))(grid, cands)
+    assert not np.asarray(ok2).any()
+
+
+def test_dci_pack_unpack_roundtrip():
+    from srsran_project_23_5_tpu.scheduler import dci
+    for n_bwp in (24, 52, 106, 273):
+        for (s, l) in ((0, 1), (3, 7), (0, n_bwp), (n_bwp - 1, 1)):
+            d = dci.Dci(is_dl=(l % 2 == 0), prb_start=s, prb_len=l,
+                        time_domain=3, mcs=17, ndi=1, rv=2, harq_pid=9)
+            got = dci.unpack(dci.pack(d, n_bwp), n_bwp)
+            assert got == d, (n_bwp, s, l, got)
+
+
+def test_cce_allocator_no_overlap_and_blocking():
+    from srsran_project_23_5_tpu.scheduler.pdcch_alloc import (
+        PdcchSlotAllocator)
+    a = PdcchSlotAllocator(nof_cces=8)
+    got = [a.allocate(0x4601 + i, slot=3, aggregation_level=4,
+                      nof_candidates=4) for i in range(4)]
+    placed = [g for g in got if g is not None]
+    assert len(placed) == 2              # 8 CCEs fit two AL4 DCIs
+    assert len(set(placed)) == 2 and all(g % 4 == 0 for g in placed)
+    assert got[2] is None or got[3] is None
+
+
+def test_cce_allocator_hashing_moves_with_slot():
+    from srsran_project_23_5_tpu.scheduler.pdcch_alloc import (
+        PdcchSlotAllocator, y_p)
+    ys = {y_p(0x4601, 0, s) % 4 for s in range(16)}
+    assert len(ys) > 1                   # candidates hop across slots
