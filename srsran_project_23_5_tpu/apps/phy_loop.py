@@ -27,6 +27,26 @@ from ..scheduler import CellConfig, dci as dci_mod
 from ..scheduler.pdcch_alloc import PdcchSlotAllocator
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _csi_meas(csi_cfg):
+    """Jitted CSI-RS SINR measurement, cached per (static) resource."""
+    from ..phy.upper import csi_rs as csi_rs_proc
+
+    @jax.jit
+    def meas(rx):
+        ref = csi_rs_proc.generate(csi_cfg, jnp.zeros_like(rx))
+        mask = jnp.abs(ref) > 0
+        err = jnp.where(mask, rx - ref, 0.0)
+        sig = jnp.where(mask, jnp.abs(ref) ** 2, 0.0).sum()
+        npow = jnp.maximum((jnp.abs(err) ** 2).sum(), 1e-12)
+        return 10.0 * jnp.log10(sig / npow)
+
+    return meas
+
+
 class PhyLoop:
     def __init__(self, cell: CellConfig, snr_db: float = 30.0) -> None:
         self.cell = cell
@@ -80,6 +100,10 @@ class PhyLoop:
                 out[(d.is_dl, d.prb_start)] = d
         return out
 
+    def _is_csi_slot(self, slot: int) -> bool:
+        return (slot % self.cell.csi_rs_period_slots
+                == self.cell.csi_rs_slot_offset)
+
     def _ue_sh_config(self, d, rnti: int, slot: int) -> sch.ShConfig:
         """Rebuild the PDSCH config from decoded DCI fields (the UE's
         view: TS 38.214 TBS determination from MCS + allocation)."""
@@ -87,12 +111,21 @@ class PhyLoop:
         bits = tbs_mod.tbs_calculate(
             self.cell.pdsch_symbols, self.cell.dl_dmrs_per_prb, 0, r, qm,
             1, d.prb_len)
+        resv = (((self.cell.csi_rs_symbol, (0,)),)
+                if self._is_csi_slot(slot) else ())
         return sch.ShConfig(
             rnti=rnti, tbs=(bits // 8) * 8, qm=qm, rv=d.rv,
             prb_start=d.prb_start, nof_prb=d.prb_len,
             first_symbol=2, nof_symbols=12, dmrs_symbols=(2, 7, 11),
             nid=self.cell.pci, nid_dmrs=self.cell.pci,
-            slot_in_frame=slot % self.cell.slots_per_frame)
+            slot_in_frame=slot % self.cell.slots_per_frame,
+            reserved_patterns=resv)
+
+    def _ue_measure_csi(self, rx_grid: jnp.ndarray, csi_cfg) -> tuple:
+        """CSI-RS based wideband SINR/CQI (UE-side CSI measurement)."""
+        from ..ran import mcs_tables as mt
+        sinr_db = float(np.asarray(_csi_meas(csi_cfg)(rx_grid)))
+        return mt.sinr_to_cqi(sinr_db), sinr_db
 
     # ------------------------------------------------------------- slot run
     def run_slot(self, dl_req: fapi.DlTtiRequest, tx_req: fapi.TxDataRequest,
@@ -109,6 +142,11 @@ class PhyLoop:
             # from side-channel knowledge of the gNB's FAPI PDUs.
             dcis = (self._ue_blind_decode_dci(rx, ue.rnti, dl_req.slot)
                     if ue.rnti is not None else {})
+            if dl_req.csi_rs_pdus and ue.rnti is not None:
+                cqi, sinr_db = self._ue_measure_csi(
+                    rx, dl_req.csi_rs_pdus[0].config)
+                inds.append(fapi.CsiIndication(
+                    dl_req.sfn, dl_req.slot, ue.rnti, cqi, sinr_db))
             for pdu in dl_req.pdsch_pdus:
                 cfg = pdu.config
                 if cfg.rnti != ue.rnti:

@@ -15,6 +15,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..phy.upper.csi_rs import CsiRsConfig
 from ..phy.upper.pdcch import PdcchConfig
 from ..phy.upper.pucch import PucchF1Config, PucchF2Config
 from ..phy.upper.sch import ShConfig
@@ -40,6 +41,11 @@ class PdschPdu:
 
 
 @dataclasses.dataclass
+class CsiRsPdu:
+    config: CsiRsConfig
+
+
+@dataclasses.dataclass
 class DlTtiRequest:
     """DL_TTI.request (messages.h:424)."""
     sfn: int
@@ -47,6 +53,7 @@ class DlTtiRequest:
     ssb_pdus: list[SsbPdu] = dataclasses.field(default_factory=list)
     pdcch_pdus: list[PdcchPdu] = dataclasses.field(default_factory=list)
     pdsch_pdus: list[PdschPdu] = dataclasses.field(default_factory=list)
+    csi_rs_pdus: list[CsiRsPdu] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -128,6 +135,17 @@ class UciIndication:
     uci_bits: Optional[np.ndarray]
     detected: bool
     metric: float
+
+
+@dataclasses.dataclass
+class CsiIndication:
+    """CSI measurement report (UCI.indication CSI part 1 distilled to the
+    wideband CQI the scheduler's link adaptation consumes)."""
+    sfn: int
+    slot: int
+    rnti: int
+    cqi: int
+    sinr_db: float
 
 
 @dataclasses.dataclass

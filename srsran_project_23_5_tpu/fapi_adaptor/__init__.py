@@ -41,18 +41,24 @@ class MacToFapiTranslator:
         self.cell = cell
         self.dmrs_symbols = tuple(dmrs_symbols)
 
-    def _sh_config(self, g, slot: int, is_dl: bool) -> ShConfig:
+    def _sh_config(self, g, slot: int, is_dl: bool,
+                   csi_rs: bool = False) -> ShConfig:
         # DL rides symbols 2..13 (0-1 are the PDCCH control region); UL
         # uses the full slot.  Geometry matches the scheduler's TBS math
         # (pdsch_symbols=12, 3 whole DM-RS symbols).
         first, nsym = (2, 12) if is_dl else (0, 14)
+        # CSI-RS slots reserve the resource's REs out of the PDSCH
+        # (re_pattern reservation; row 2 = subcarrier 0 of every PRB)
+        resv = (((self.cell.csi_rs_symbol, (0,)),)
+                if (is_dl and csi_rs) else ())
         return ShConfig(
             rnti=g.rnti, tbs=g.tbs_bytes * 8, qm=g.qm, rv=g.rv,
             prb_start=g.prb_start, nof_prb=g.prb_len,
             first_symbol=first, nof_symbols=nsym,
             dmrs_symbols=self.dmrs_symbols, nid=self.cell.pci,
             nid_dmrs=self.cell.pci,
-            slot_in_frame=slot % self.cell.slots_per_frame)
+            slot_in_frame=slot % self.cell.slots_per_frame,
+            reserved_patterns=resv)
 
     def _pdcch_pdu(self, g, slot: int) -> fapi.PdcchPdu:
         """Grant → PDCCH PDU: packed DCI + CCE-allocated candidate
@@ -88,6 +94,13 @@ class MacToFapiTranslator:
         ul_dci = fapi.UlDciRequest(sfn, slot)
         if res.ssb:
             dl.ssb_pdus.append(self._ssb_pdu(sfn))
+        if res.csi_rs:
+            from ..phy.upper.csi_rs import CsiRsConfig
+            dl.csi_rs_pdus.append(fapi.CsiRsPdu(CsiRsConfig(
+                row=2, prb_start=0, nof_prb=self.cell.nof_prb,
+                symbol=self.cell.csi_rs_symbol,
+                scrambling_id=self.cell.pci,
+                slot_in_frame=slot % self.cell.slots_per_frame)))
         for g in res.ul_dcis:
             ul_dci.pdcch_pdus.append(self._pdcch_pdu(g, slot))
         # UL DCIs ride the same slot's DL control region
@@ -102,13 +115,13 @@ class MacToFapiTranslator:
                 tb = out.dl_pdus.get((g.rnti, g.harq_pid))
             if tb is None:
                 continue
-            cfg = self._sh_config(g, slot, True)
+            cfg = self._sh_config(g, slot, True, csi_rs=res.csi_rs)
             dl.pdcch_pdus.append(self._pdcch_pdu(g, slot))
             dl.pdsch_pdus.append(fapi.PdschPdu(cfg))
             tx.transport_blocks.append(_bits(tb.ljust(g.tbs_bytes, b"\x00"),
                                              cfg.tbs))
         if res.sib1 is not None and out.sib1_pdu is not None:
-            cfg = self._sh_config(res.sib1, slot, True)
+            cfg = self._sh_config(res.sib1, slot, True, csi_rs=res.csi_rs)
             dl.pdcch_pdus.append(self._pdcch_pdu(res.sib1, slot))
             dl.pdsch_pdus.append(fapi.PdschPdu(cfg))
             tx.transport_blocks.append(_bits(out.sib1_pdu, cfg.tbs))
@@ -143,7 +156,9 @@ class FapiToMacTranslator:
         for ind in indications:
             if isinstance(ind, fapi.CrcIndication):
                 self.mac.handle_crc_indication(ind.rnti, ind.harq_process,
-                                               ind.tb_crc_ok)
+                                               ind.tb_crc_ok, ind.sinr_db)
+            elif isinstance(ind, fapi.CsiIndication):
+                self.mac.handle_csi_report(ind.rnti, ind.cqi)
             elif isinstance(ind, fapi.RxDataIndication):
                 nof_bytes = len(ind.payload) // 8
                 self.mac.handle_rx_pdu(

@@ -156,9 +156,13 @@ class MacCellProcessor:
                                preamble: int, ta: int = 0) -> None:
         self.scheduler.handle_rach_indication(slot, occasion, preamble, ta)
 
+    def handle_csi_report(self, rnti: int, cqi: int) -> None:
+        self.scheduler.handle_csi_report(rnti, cqi)
+
     def handle_crc_indication(self, rnti: int, harq_pid: int,
-                              ok: bool) -> None:
-        self.scheduler.handle_crc_indication(rnti, harq_pid, ok)
+                              ok: bool, sinr_db: float | None = None
+                              ) -> None:
+        self.scheduler.handle_crc_indication(rnti, harq_pid, ok, sinr_db)
 
     def handle_harq_ack(self, rnti: int, harq_pid: int, ack: bool) -> None:
         self.scheduler.handle_harq_ack(rnti, harq_pid, ack)

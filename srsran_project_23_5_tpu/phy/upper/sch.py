@@ -60,6 +60,19 @@ class ShConfig:
     # per-symbol time interpolation across DM-RS symbols (drifting
     # channels); default False = reference's average_impl behavior
     time_interp: bool = False
+    # interleaved VRB→PRB mapping (TS 38.211 §7.3.1.6, bundle 2) over the
+    # BWP [0, bwp_nof_prb) (0 ⇒ prb_start + nof_prb); the permutation is
+    # baked into one static gather per slot (vrb_to_prb_mapper.cpp)
+    vrb_to_prb_interleaved: bool = False
+    bwp_nof_prb: int = 0
+    # RE-pattern reservations (resource_grid re_pattern / the reference's
+    # PDSCH reserved-RE lists): ((symbol, (sc_offsets_in_prb, ...)), ...)
+    # — data mapping skips those REs on those symbols (e.g. a CSI-RS
+    # resource riding the same slot).  Offsets are per-PRB (0..11) and
+    # apply to every PRB of the allocation; combined with VRB→PRB
+    # interleaving this stays physically correct because the bundle
+    # permutation moves whole PRBs, preserving in-PRB offsets.
+    reserved_patterns: tuple = ()
     # UCI multiplexed on PUSCH (TS 38.212 §6.2.7); empty for PDSCH
     uci: ulsch.UciOnPusch = ulsch.UciOnPusch()
 
@@ -69,12 +82,18 @@ class ShConfig:
         """(symbol_idx, sc_idx) arrays of data REs in mapping order."""
         sc_lo = self.prb_start * NRE
         sc_hi = (self.prb_start + self.nof_prb) * NRE
+        resv = dict(self.reserved_patterns)
         syms, scs = [], []
         for l in range(self.first_symbol, self.first_symbol + self.nof_symbols):
             if l in self.dmrs_symbols:
                 if self.dmrs_cdm_groups_without_data >= 2:
                     continue  # whole symbol reserved for DM-RS
                 ks = np.arange(sc_lo + 1, sc_hi, 2)  # other comb offset
+            elif l in resv:
+                keep = np.setdiff1d(np.arange(NRE), np.asarray(resv[l]))
+                prbs = np.arange(self.prb_start,
+                                 self.prb_start + self.nof_prb)
+                ks = (prbs[:, None] * NRE + keep[None, :]).reshape(-1)
             else:
                 ks = np.arange(sc_lo, sc_hi)
             syms.append(np.full(ks.shape, l, dtype=np.int32))
@@ -143,19 +162,43 @@ class ShConfig:
         The contiguous type-1 allocation lets every symbol be one slice of
         the grid — scatter/gather-free mapping (TPU-structured).
         """
+        resv = dict(self.reserved_patterns)
         plan = []
         for l in range(self.first_symbol, self.first_symbol + self.nof_symbols):
             if l in self.dmrs_symbols:
                 kind = ("comb_data"
                         if self.dmrs_cdm_groups_without_data < 2 else "dmrs")
+            elif l in resv:
+                kind = "reserved"
             else:
                 kind = "full"
             plan.append((l, kind))
         return plan
 
+    @functools.cached_property
+    def reserved_keep_offsets(self) -> dict[int, tuple[int, ...]]:
+        """symbol → kept (data) sc offsets within each PRB."""
+        out = {}
+        for l, offs in self.reserved_patterns:
+            out[l] = tuple(k for k in range(NRE) if k not in set(offs))
+        return out
+
     @property
     def sc_bounds(self) -> tuple[int, int]:
         return self.prb_start * NRE, (self.prb_start + self.nof_prb) * NRE
+
+    @functools.cached_property
+    def vrb_sc_maps(self) -> tuple[np.ndarray, np.ndarray]:
+        """(fwd_sc, inv_sc): phys[fwd_sc[v]] = virt[v]; virt = phys[fwd_sc]
+        gathers the receiver back to virtual (contiguous) order."""
+        from ...ran import vrb_prb
+        n_bwp = self.bwp_nof_prb or (self.prb_start + self.nof_prb)
+        prb_map = vrb_prb.interleaved_vrb_to_prb(n_bwp, 2)
+        fwd = (prb_map[:, None] * NRE + np.arange(NRE)[None, :]
+               ).reshape(-1).astype(np.int32)
+        inv = np.empty_like(fwd)
+        inv[fwd] = np.arange(len(fwd), dtype=np.int32)
+        return fwd, inv
 
     @functools.cached_property
     def time_weights(self) -> list[tuple[int, int, float]]:
@@ -226,6 +269,15 @@ def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
         if kind == "full":
             row = syms[pos:pos + width]
             pos += width
+        elif kind == "reserved":
+            keep = cfg.reserved_keep_offsets[l]
+            nk = len(keep)
+            chunk = syms[pos:pos + cfg.nof_prb * nk]
+            pos += cfg.nof_prb * nk
+            block = jnp.zeros((cfg.nof_prb, NRE), syms.dtype)
+            block = block.at[:, jnp.asarray(keep)].set(
+                chunk.reshape(cfg.nof_prb, nk))
+            row = block.reshape(width)
         elif kind == "comb_data":
             chunk = syms[pos:pos + width // 2]
             pos += width // 2
@@ -233,7 +285,16 @@ def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
         else:  # dmrs only
             zero = jnp.zeros_like(pilots[dmrs_i[l]])
             row = jnp.stack([pilots[dmrs_i[l]], zero], axis=-1).reshape(-1)
-        grid = grid.at[..., l, lo:hi].set(row)
+        if cfg.vrb_to_prb_interleaved:
+            # virtual (VRB) row → physical PRBs: one static scatter-free
+            # gather of the full BWP row
+            n_bwp_sc = len(cfg.vrb_sc_maps[0])
+            virt = jnp.zeros((*row.shape[:-1], n_bwp_sc), row.dtype)
+            virt = virt.at[..., lo:hi].set(row)
+            phys = virt[..., cfg.vrb_sc_maps[1]]
+            grid = grid.at[..., l, :n_bwp_sc].add(phys)
+        else:
+            grid = grid.at[..., l, lo:hi].set(row)
     return grid
 
 
@@ -379,6 +440,13 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
     """
     if rx_grid.ndim == 2:
         rx_grid = rx_grid[None]
+    if cfg.vrb_to_prb_interleaved:
+        # physical → virtual (contiguous VRB) order: one static gather,
+        # after which the slice-structured chain below applies unchanged
+        fwd = jnp.asarray(cfg.vrb_sc_maps[0])
+        n_bwp_sc = fwd.shape[0]
+        rx_grid = jnp.concatenate(
+            [rx_grid[..., fwd], rx_grid[..., n_bwp_sc:]], axis=-1)
 
     # --- channel estimation from DM-RS (structured comb-2: slices only)
     lo, hi = cfg.sc_bounds
@@ -437,6 +505,12 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
         return (1.0 - w1) * h0 + w1 * est.h_dmrs[..., d1, :]
 
     # --- extract + equalize data REs, symbol rows in mapping order
+    def _keep_resv(x, l):
+        keep = cfg.reserved_keep_offsets[l]
+        blk = x.reshape(*x.shape[:-1], cfg.nof_prb, NRE)
+        return blk[..., jnp.asarray(keep)].reshape(
+            *x.shape[:-1], cfg.nof_prb * len(keep))
+
     y_rows, h_rows = [], []
     for l, kind in cfg.symbol_plan:
         row = rx_grid[..., l, lo:hi]
@@ -444,6 +518,9 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
         if kind == "full":
             y_rows.append(row)
             h_rows.append(h_sym)
+        elif kind == "reserved":
+            y_rows.append(_keep_resv(row, l))
+            h_rows.append(_keep_resv(h_sym, l))
         elif kind == "comb_data":
             y_rows.append(row[..., 1::2])
             h_rows.append(h_sym[..., 1::2])

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...fapi import messages as fapi
+from . import csi_rs as csi_rs_proc
 from . import pdcch as pdcch_proc
 from . import pucch as pucch_proc
 from . import sch, ssb as ssb_proc
@@ -63,6 +64,9 @@ class UpperPhy:
         for pdu, tb in zip(req.pdsch_pdus, tbs):
             grid = sch.pdsch_transmit(jnp.asarray(tb, dtype=jnp.int8),
                                       pdu.config, grid)
+        # CSI-RS after PDSCH: its REs sit in the PDSCH's reserved pattern
+        for pdu in req.csi_rs_pdus:
+            grid = csi_rs_proc.generate(pdu.config, grid)
         return grid
 
     # --------------------------------------------------------------- uplink

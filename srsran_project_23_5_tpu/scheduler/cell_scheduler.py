@@ -72,12 +72,24 @@ class CellScheduler:
         if rnti in self.ues:
             self.ues[rnti].ul_buffer_bytes = nof_bytes
 
+    def handle_csi_report(self, rnti: int, cqi: int) -> None:
+        """Wideband CQI → DL link adaptation (csi_report handling in
+        lib/scheduler/ue_scheduling/ue_cell.cpp)."""
+        if rnti in self.ues:
+            self.ues[rnti].cqi = max(0, min(int(cqi), 15))
+
     def handle_crc_indication(self, rnti: int, harq_pid: int,
-                              ok: bool) -> None:
-        """PUSCH decode outcome → UL HARQ."""
+                              ok: bool, sinr_db: float | None = None
+                              ) -> None:
+        """PUSCH decode outcome → UL HARQ (+ UL link adaptation from the
+        measured SINR, IIR-smoothed)."""
         ue = self.ues.get(rnti)
         if ue is None:
             return
+        if sinr_db is not None:
+            prev = ue.ul_sinr_db
+            ue.ul_sinr_db = (sinr_db if prev is None
+                             else 0.7 * prev + 0.3 * sinr_db)
         p = ue.ul_harqs.processes[harq_pid]
         dropped = p.handle_ack(ok)
         if ok:
@@ -170,6 +182,10 @@ class CellScheduler:
                 res.ssb = True
                 # keep PDSCH out of the SSB's PRB/symbol footprint
                 dl_alloc.alloc(self.cfg.ssb_prbs)
+            # 1b. periodic NZP-CSI-RS (common_scheduling/csi_rs_scheduler)
+            if (slot % self.cfg.csi_rs_period_slots
+                    == self.cfg.csi_rs_slot_offset):
+                res.csi_rs = True
             # 2. SIB1
             if slot % self.cfg.sib1_period_slots == 2:
                 cce = self._alloc_cce(SI_RNTI, slot)
@@ -192,6 +208,20 @@ class CellScheduler:
         if dl_ok:
             self._schedule_ue_ul(slot, res)
         return res
+
+    # ---------------------------------------------------- link adaptation
+    def _dl_mcs(self, ue: UeContext) -> int:
+        """CQI-driven MCS; fixed config value until the first report."""
+        if ue.cqi:
+            return mcs_tables.cqi_to_mcs(ue.cqi, self.cfg.mcs_table)
+        return self.cfg.fixed_dl_mcs
+
+    def _ul_mcs(self, ue: UeContext) -> int:
+        if ue.ul_sinr_db is not None:
+            cqi = mcs_tables.sinr_to_cqi(ue.ul_sinr_db)
+            if cqi:
+                return mcs_tables.cqi_to_mcs(cqi, self.cfg.mcs_table)
+        return self.cfg.fixed_ul_mcs
 
     # ------------------------------------------------------------- PDCCH
     @property
@@ -290,7 +320,7 @@ class CellScheduler:
             cce = self._alloc_cce(rnti, slot)
             if cce is None:
                 continue
-            mcs = self.cfg.fixed_dl_mcs
+            mcs = self._dl_mcs(ue)
             want = self._prbs_for_bytes(max(demand + 8, 16), mcs, dl=True)
             if self.cfg.max_prb_per_ue:
                 want = min(want, self.cfg.max_prb_per_ue)
@@ -350,7 +380,7 @@ class CellScheduler:
             cce = self._alloc_cce(rnti, slot)
             if cce is None:
                 continue
-            mcs = self.cfg.fixed_ul_mcs
+            mcs = self._ul_mcs(ue)
             want = self._prbs_for_bytes(ue.ul_buffer_bytes + 8, mcs,
                                         dl=False)
             prbs = alloc.alloc(want)

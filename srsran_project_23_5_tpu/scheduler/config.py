@@ -55,6 +55,10 @@ class CellConfig:
     pdcch_candidates: int = 4            # candidates per aggregation level
     pdcch_aggregation_level: int = 4
     ssb_prbs: int = 21                   # SSB span (240 SC + rounding)
+    # NZP-CSI-RS resource (row 2: 1 RE/PRB) for DL CSI acquisition
+    csi_rs_period_slots: int = 20
+    csi_rs_slot_offset: int = 1
+    csi_rs_symbol: int = 5
     # Allocation sizes are rounded up to these buckets so every grant maps
     # to one of a few compiled PHY shapes (SURVEY §7: bucketing+padding
     # replaces the reference's dynamic per-PDU dispatch).

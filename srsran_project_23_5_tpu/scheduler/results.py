@@ -66,6 +66,7 @@ class RarInfo:
 class SlotResult:
     slot: int
     ssb: bool = False
+    csi_rs: bool = False
     sib1: Optional[DlGrant] = None
     prach_occasion: bool = False
     rars: list[RarInfo] = dataclasses.field(default_factory=list)

@@ -17,6 +17,9 @@ class UeContext:
     pending_conres: bool = False          # send ConRes CE on next DL grant
     dl_ko_streak: int = 0                 # for RLF detection
     ul_ko_streak: int = 0
+    # link adaptation state (reference ue_link_adaptation_controller)
+    cqi: int = 0                          # last wideband CQI (0 = none)
+    ul_sinr_db: float | None = None       # smoothed PUSCH SINR
     # metrics (scheduler_ue_metrics surface)
     dl_bytes: int = 0
     ul_bytes: int = 0

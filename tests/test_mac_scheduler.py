@@ -248,3 +248,29 @@ def test_mac_rar_pdu_matches_grant():
     ps, pl, mcs = MacCellProcessor.unpack_rar_ul_grant(dec[0].ul_grant)
     assert (ps, pl, mcs) == (rar.msg3_grant.prb_start,
                              rar.msg3_grant.prb_len, rar.msg3_grant.mcs)
+
+
+def test_link_adaptation_cqi_and_ul_sinr():
+    """CQI reports drive DL MCS; PUSCH SINR drives UL MCS (reference
+    ue_link_adaptation_controller / mcs_calculator)."""
+    s = _sched()
+    ue = s.add_ue(0x4601)
+    assert s._dl_mcs(ue) == s.cfg.fixed_dl_mcs      # no report yet
+    s.handle_csi_report(0x4601, 15)
+    hi = s._dl_mcs(ue)
+    s.handle_csi_report(0x4601, 4)
+    lo = s._dl_mcs(ue)
+    assert hi > s.cfg.fixed_dl_mcs >= lo
+    # UL: smoothed SINR moves the MCS monotonically
+    s.handle_crc_indication(0x4601, 0, True, sinr_db=25.0)
+    m_good = s._ul_mcs(ue)
+    for _ in range(12):
+        s.handle_crc_indication(0x4601, 0, True, sinr_db=-2.0)
+    m_bad = s._ul_mcs(ue)
+    assert m_good > m_bad
+
+
+def test_csi_rs_slot_periodicity_and_grants_reserve():
+    s = _sched()
+    csi_slots = [t for t in range(60) if s.run_slot(t).csi_rs]
+    assert csi_slots == [1, 21, 41]
