@@ -1,0 +1,99 @@
+"""PRACH configuration-index tables (TS 38.211 Table 6.3.3.2-2/-3 shape;
+reference lib/ran/prach/prach_configuration.cpp) and the zeroCorrelation-
+Zone → N_cs tables (Table 6.3.3.1-5/-6/-7).
+
+A representative, exact subset of the FR1 rows the reference exercises:
+long formats 0/1/2/3 (FDD rows) and short format A1/B4 style rows; each
+row gives the preamble format, the x/y SFN condition, the subframe
+numbers, and slot geometry.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PrachConfiguration:
+    format: str                  # "0"|"1"|"2"|"3"|"A1"|"B4"
+    x: int                       # SFN mod x == y
+    y: int
+    subframes: tuple[int, ...]
+    starting_symbol: int = 0
+    nof_occasions_per_slot: int = 1
+    duration_symbols: int = 0    # short formats only
+
+
+# TS 38.211 Table 6.3.3.2-2 (FR1 paired/FDD), exact rows.
+FDD_CONFIGS: dict[int, PrachConfiguration] = {
+    0: PrachConfiguration("0", 16, 1, (1,)),
+    1: PrachConfiguration("0", 16, 1, (4,)),
+    2: PrachConfiguration("0", 16, 1, (7,)),
+    3: PrachConfiguration("0", 16, 1, (9,)),
+    4: PrachConfiguration("0", 8, 1, (1,)),
+    5: PrachConfiguration("0", 8, 1, (4,)),
+    6: PrachConfiguration("0", 8, 1, (7,)),
+    7: PrachConfiguration("0", 8, 1, (9,)),
+    8: PrachConfiguration("0", 4, 1, (1,)),
+    9: PrachConfiguration("0", 4, 1, (4,)),
+    10: PrachConfiguration("0", 4, 1, (7,)),
+    11: PrachConfiguration("0", 4, 1, (9,)),
+    12: PrachConfiguration("0", 2, 1, (1,)),
+    13: PrachConfiguration("0", 2, 1, (4,)),
+    14: PrachConfiguration("0", 2, 1, (7,)),
+    15: PrachConfiguration("0", 2, 1, (9,)),
+    16: PrachConfiguration("0", 1, 0, (1,)),
+    17: PrachConfiguration("0", 1, 0, (4,)),
+    18: PrachConfiguration("0", 1, 0, (7,)),
+    19: PrachConfiguration("0", 1, 0, (1, 6)),
+    20: PrachConfiguration("0", 1, 0, (2, 7)),
+    21: PrachConfiguration("0", 1, 0, (3, 8)),
+    22: PrachConfiguration("0", 1, 0, (1, 4, 7)),
+    23: PrachConfiguration("0", 1, 0, (2, 5, 8)),
+    24: PrachConfiguration("0", 1, 0, (3, 6, 9)),
+    25: PrachConfiguration("0", 1, 0, (0, 2, 4, 6, 8)),
+    26: PrachConfiguration("0", 1, 0, (1, 3, 5, 7, 9)),
+    27: PrachConfiguration("0", 1, 0, (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)),
+    28: PrachConfiguration("1", 16, 1, (1,)),
+    29: PrachConfiguration("1", 16, 1, (4,)),
+    30: PrachConfiguration("1", 16, 1, (7,)),
+    31: PrachConfiguration("1", 16, 1, (9,)),
+    34: PrachConfiguration("1", 8, 1, (7,)),
+    37: PrachConfiguration("2", 16, 1, (4,)),
+    40: PrachConfiguration("2", 8, 1, (4,)),
+    44: PrachConfiguration("3", 16, 1, (1,)),
+    45: PrachConfiguration("3", 16, 1, (4,)),
+    46: PrachConfiguration("3", 16, 1, (7,)),
+    47: PrachConfiguration("3", 16, 1, (9,)),
+}
+
+# zeroCorrelationZoneConfig → N_cs, long preambles, unrestricted
+# (TS 38.211 Table 6.3.3.1-5, Δf_RA = 1.25 kHz).
+NCS_LONG_UNRESTRICTED = (0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93,
+                         119, 167, 279, 419)
+# …and restricted set type A (same table, column 3).
+NCS_LONG_RESTRICTED_A = (15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100,
+                         128, 158, 202, 237, 0)
+# Short preambles, Δf_RA = 15·2^mu kHz (Table 6.3.3.1-7).
+NCS_SHORT = (0, 2, 4, 6, 8, 10, 12, 13, 15, 17, 19, 23, 27, 34, 46, 69)
+
+
+def prach_configuration(index: int, paired: bool = True
+                        ) -> PrachConfiguration:
+    assert paired, "FR1 unpaired table not included in this subset"
+    return FDD_CONFIGS[index]
+
+
+def prach_slot_match(cfg: PrachConfiguration, sfn: int,
+                     subframe: int) -> bool:
+    """Does (sfn, subframe) host a PRACH occasion for this config?"""
+    return sfn % cfg.x == cfg.y and subframe in cfg.subframes
+
+
+def ncs_from_zcz(zcz: int, fmt: str,
+                 restricted_set: str = "unrestricted") -> int:
+    if fmt in ("0", "1", "2", "3"):
+        tab = (NCS_LONG_RESTRICTED_A if restricted_set == "type_a"
+               else NCS_LONG_UNRESTRICTED)
+    else:
+        tab = NCS_SHORT
+    return tab[zcz]

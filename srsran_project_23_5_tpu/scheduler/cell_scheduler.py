@@ -48,6 +48,8 @@ class CellScheduler:
         self._pending_rach: deque = deque() # (slot, occasion, preamble, ta)
         self._next_tc_rnti = 0x4601
         self.rlf_ues: list[int] = []        # RNTIs that hit RLF
+        self._last_slot: Optional[int] = None
+        self.nof_skipped_slots = 0
 
     # ----------------------------------------------------------- UE mgmt
     def add_ue(self, rnti: int) -> UeContext:
@@ -159,6 +161,19 @@ class CellScheduler:
     # ------------------------------------------------------------- pipeline
     def run_slot(self, slot: int) -> SlotResult:
         res = SlotResult(slot)
+        # skipped-slot healing (cell_scheduler.cpp:86-94): when the slot
+        # clock jumps (late wake-up / overload), advance the state the
+        # missed slots would have driven — HARQ timeouts and deferred
+        # allocations that can no longer be honored — before scheduling.
+        if self._last_slot is not None and slot > self._last_slot + 1:
+            for missed in range(self._last_slot + 1, slot):
+                self.nof_skipped_slots += 1
+                for ue in self.ues.values():
+                    ue.dl_harqs.handle_timeouts(missed)
+                    ue.ul_harqs.handle_timeouts(missed)
+                self._pending_ul.pop(missed, None)
+                self._pending_pucch.pop(missed, None)
+        self._last_slot = slot
         for ue in self.ues.values():
             ue.dl_harqs.handle_timeouts(slot)
             ue.ul_harqs.handle_timeouts(slot)

@@ -274,3 +274,16 @@ def test_csi_rs_slot_periodicity_and_grants_reserve():
     s = _sched()
     csi_slots = [t for t in range(60) if s.run_slot(t).csi_rs]
     assert csi_slots == [1, 21, 41]
+
+
+def test_skipped_slot_healing():
+    """A slot-clock jump advances HARQ timeouts and drops stale deferred
+    allocations (cell_scheduler.cpp:86-94)."""
+    s = _sched()
+    s.add_ue(0x4601)
+    s.handle_bsr(0x4601, 2000)
+    s.run_slot(0)                       # schedules PUSCH for slot k2=4
+    assert 4 in s._pending_ul
+    s.run_slot(10)                      # clock jumps over slot 4
+    assert s.nof_skipped_slots == 9
+    assert 4 not in s._pending_ul       # stale grant healed away

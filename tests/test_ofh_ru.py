@@ -148,3 +148,38 @@ def test_socket_radio_pair():
 def test_uhd_unavailable_raises():
     with pytest.raises(RuntimeError):
         radio_mod.create_radio("uhd")
+
+
+# ----------------------------------------------------------- r3: TRX shim
+def test_trx_driver_stream_and_timestamps():
+    import numpy as np
+    from srsran_project_23_5_tpu.radio.trx import TrxDriver
+    trx = TrxDriver(sample_rate_hz=1e6)
+    trx.start()
+    a = (np.arange(100) + 1j).astype(np.complex64)
+    trx.write(a, timestamp=0)
+    out, ts = trx.read(60)
+    assert ts == 0 and np.array_equal(out, a[:60])
+    # a gap in the TX stream zero-fills (underflow accounting)
+    trx.write(a, timestamp=250)
+    out2, ts2 = trx.read(300)
+    assert ts2 == 60
+    assert np.array_equal(out2[:40], a[60:])
+    assert not out2[40:190].any()              # the 100..250 gap
+    assert np.array_equal(out2[190:290], a)
+    assert trx.stats.tx_underflows == 1
+    # late write drops the overlapping head
+    trx.write(a, timestamp=trx._rx_cursor - 30)
+    assert trx.stats.tx_late == 1
+
+
+def test_trx_gains():
+    import numpy as np
+    from srsran_project_23_5_tpu.radio.trx import TrxDriver
+    trx = TrxDriver(1e6)
+    trx.start()
+    trx.set_tx_gain(20.0)
+    trx.set_rx_gain(-20.0)
+    trx.write(np.ones(10, np.complex64), 0)
+    out, _ = trx.read(10)
+    np.testing.assert_allclose(np.abs(out), 1.0, rtol=1e-5)
