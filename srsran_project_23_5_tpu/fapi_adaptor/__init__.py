@@ -125,6 +125,12 @@ class MacToFapiTranslator:
             dl.pdcch_pdus.append(self._pdcch_pdu(res.sib1, slot))
             dl.pdsch_pdus.append(fapi.PdschPdu(cfg))
             tx.transport_blocks.append(_bits(out.sib1_pdu, cfg.tbs))
+        if res.paging is not None and out.paging_pdu is not None:
+            cfg = self._sh_config(res.paging, slot, True,
+                                  csi_rs=res.csi_rs)
+            dl.pdcch_pdus.append(self._pdcch_pdu(res.paging, slot))
+            dl.pdsch_pdus.append(fapi.PdschPdu(cfg))
+            tx.transport_blocks.append(_bits(out.paging_pdu, cfg.tbs))
         for g in res.ul_grants:
             ul.pusch_pdus.append(fapi.PuschPdu(
                 self._sh_config(g, slot, False), harq_process=g.harq_pid,
@@ -132,6 +138,7 @@ class MacToFapiTranslator:
         for p in res.pucch:
             ul.pucch_pdus.append(fapi.PucchPdu(format1=PucchF1Config(
                 prb=p.prb, nof_harq_bits=p.nof_harq_bits,
+                initial_cyclic_shift=p.initial_cyclic_shift,
                 slot_in_frame=slot % self.cell.slots_per_frame)))
         if res.prach_occasion:
             ul.prach_pdus.append(fapi.PrachPdu(root_sequence_index=1,

@@ -32,6 +32,7 @@ class MacSlotOutput:
     dl_pdus: dict[tuple[int, int], bytes]   # (rnti, harq_pid) -> MAC PDU
     rar_pdus: dict[int, bytes]              # ra_rnti -> RAR MAC PDU
     sib1_pdu: Optional[bytes] = None
+    paging_pdu: Optional[bytes] = None      # P-RNTI paging records
 
 
 class MacCellProcessor:
@@ -81,6 +82,11 @@ class MacCellProcessor:
         if res.sib1 is not None:
             out.sib1_pdu = self.sib1_payload.ljust(res.sib1.tbs_bytes,
                                                    b"\x00")
+        if res.paging is not None:
+            # paging record list: length-prefixed UE identities
+            recs = res.paging_records
+            body = b"".join(bytes([len(r)]) + r for r in recs)
+            out.paging_pdu = body.ljust(res.paging.tbs_bytes, b"\x00")
         for rar in res.rars:
             grant_bits = self._pack_rar_ul_grant(rar.msg3_grant)
             out.rar_pdus[rar.ra_rnti] = mac_pdu.encode_rar_pdu(

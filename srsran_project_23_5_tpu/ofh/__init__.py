@@ -45,10 +45,19 @@ class OfhSector:
         self._ul_symbols_seen: dict[tuple, set] = {}
         self.on_ul_slot: Callable[[tuple, np.ndarray], None] = \
             lambda key, grid: None
+        # per-eAxC sequence tracking + C-plane reception windows
+        self._rx_expected_seq: dict[int, int] = {}
+        self._rx_last_seq: dict[int, int] = {}
+        self._cp_windows: dict[tuple, int] = {}   # slot key -> nof symbols
+        self.require_cplane = True
         # statistics
         self.tx_frames = 0
         self.rx_frames = 0
         self.rx_dropped = 0
+        self.rx_filtered = 0          # foreign eAxC
+        self.rx_duplicates = 0
+        self.rx_seq_errors = 0        # sequence-number gaps
+        self.rx_no_cplane = 0         # U-plane outside a C-plane window
 
     # --------------------------------------------------------------- DL
     def transmit_dl_slot(self, frame: int, subframe: int, slot: int,
@@ -92,20 +101,50 @@ class OfhSector:
         except (AssertionError, IndexError, _struct.error):
             self.rx_dropped += 1
             return
-        if hdr.msg_type != ecpri.MSG_TYPE_IQ_DATA:
-            return                      # C-plane: scheduling hints only
+        # eAxC filtering (reference data_flow eAxC demux): only this
+        # sector's UL stream is accepted
+        if hdr.pc_id != self.cfg.eaxc_ul:
+            self.rx_filtered += 1
+            return
+        # sequence-number handling per (eAxC, plane): duplicates dropped,
+        # gaps counted and resynchronized (receiver sequence_id_checker)
+        sk = (hdr.pc_id, hdr.msg_type)
+        last = self._rx_last_seq.get(sk)
+        if last is not None and hdr.seq_id == last:
+            self.rx_duplicates += 1
+            return
+        expected = self._rx_expected_seq.get(sk)
+        if expected is not None and hdr.seq_id != expected:
+            self.rx_seq_errors += 1
+        self._rx_last_seq[sk] = hdr.seq_id
+        self._rx_expected_seq[sk] = (hdr.seq_id + 1) & 0xFFFF
+
+        if hdr.msg_type == ecpri.MSG_TYPE_RT_CONTROL:
+            # C-plane type 1: opens the slot's U-plane reception window
+            sec = serdes.cplane_decode(payload)
+            t = sec.timing
+            self._cp_windows[(t.frame, t.subframe, t.slot)] = \
+                sec.nof_symbols
+            return
         msg = serdes.uplane_decode(payload)
         t = msg.timing
         key = (t.frame, t.subframe, t.slot)
+        nof_syms = self._cp_windows.get(key)
+        if nof_syms is None:
+            if self.require_cplane:
+                self.rx_no_cplane += 1   # U-plane with no C-plane: drop
+                return
+            nof_syms = nof_symbols
         if key not in self._ul_grids:
             self._ul_grids[key] = np.zeros(
-                (nof_symbols, self.cfg.nof_prb * NRE), dtype=np.complex64)
+                (nof_syms, self.cfg.nof_prb * NRE), dtype=np.complex64)
             self._ul_symbols_seen[key] = set()
         lo = msg.start_prb * NRE
         hi = lo + msg.nof_prb * NRE
         self._ul_grids[key][t.symbol, lo:hi] = msg.iq.reshape(-1)
         self._ul_symbols_seen[key].add(t.symbol)
-        if len(self._ul_symbols_seen[key]) == nof_symbols:
+        if len(self._ul_symbols_seen[key]) == nof_syms:
             grid = self._ul_grids.pop(key)
             del self._ul_symbols_seen[key]
+            self._cp_windows.pop(key, None)
             self.on_ul_slot(key, grid)

@@ -77,8 +77,10 @@ class RuOfh(RadioUnit):
                  send_frame: Callable[[bytes], None]) -> None:
         super().__init__()
         self.cfg = cfg
-        self.sector = OfhSector(OfhSectorConfig(nof_prb=cfg.nof_prb),
-                                send_frame)
+        # loopback-symmetric eAxC: the sector's own DL stream id is also
+        # accepted on receive (RU-to-DU UL rides the same id in tests)
+        self.sector = OfhSector(OfhSectorConfig(nof_prb=cfg.nof_prb,
+                                                eaxc_ul=0), send_frame)
         self.sector.on_ul_slot = lambda key, grid: self.on_ul_grid(key,
                                                                    grid)
 

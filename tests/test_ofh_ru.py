@@ -74,7 +74,8 @@ def test_cplane_roundtrip():
 def test_ofh_sector_slot_roundtrip():
     frames = []
     tx_sector = OfhSector(OfhSectorConfig(nof_prb=24), frames.append)
-    rx_sector = OfhSector(OfhSectorConfig(nof_prb=24), lambda f: None)
+    rx_sector = OfhSector(OfhSectorConfig(nof_prb=24, eaxc_ul=0),
+                          lambda f: None)
     got = {}
     rx_sector.on_ul_slot = lambda key, grid: got.update({key: grid})
     rng = np.random.default_rng(3)
@@ -183,3 +184,67 @@ def test_trx_gains():
     trx.write(np.ones(10, np.complex64), 0)
     out, _ = trx.read(10)
     np.testing.assert_allclose(np.abs(out), 1.0, rtol=1e-5)
+
+
+# ------------------------------------- r3: receiver robustness (weak #10)
+def _mk_pair(nof_prb=24):
+    frames = []
+    tx = OfhSector(OfhSectorConfig(nof_prb=nof_prb), frames.append)
+    rx = OfhSector(OfhSectorConfig(nof_prb=nof_prb, eaxc_ul=0),
+                   lambda f: None)
+    got = {}
+    rx.on_ul_slot = lambda key, grid: got.update({key: grid})
+    rng = np.random.default_rng(11)
+    grid = (rng.standard_normal((14, nof_prb * 12))
+            + 1j * rng.standard_normal((14, nof_prb * 12))
+            ).astype(np.complex64) * 0.2
+    tx.transmit_dl_slot(1, 0, 0, grid)
+    return frames, rx, got, grid
+
+
+def test_ofh_rx_filters_foreign_eaxc():
+    frames, rx, got, _ = _mk_pair()
+    rx.cfg.eaxc_ul = 9                 # expect a different stream
+    for f in frames:
+        rx.handle_rx_frame(f)
+    assert not got
+    assert rx.rx_filtered == len(frames)
+
+
+def test_ofh_rx_duplicate_frames_dropped():
+    frames, rx, got, grid = _mk_pair()
+    for f in frames:
+        rx.handle_rx_frame(f)
+        rx.handle_rx_frame(f)          # exact duplicate of every frame
+    assert (1, 0, 0) in got
+    assert rx.rx_duplicates == len(frames)
+    snr = np.mean(np.abs(grid) ** 2) / np.mean(
+        np.abs(got[(1, 0, 0)] - grid) ** 2)
+    assert 10 * np.log10(snr) > 40
+
+
+def test_ofh_rx_out_of_order_counts_seq_errors_but_completes():
+    frames, rx, got, _ = _mk_pair()
+    # swap two U-plane frames (C-plane is frames[0])
+    frames[3], frames[4] = frames[4], frames[3]
+    for f in frames:
+        rx.handle_rx_frame(f)
+    assert (1, 0, 0) in got            # slot still assembles
+    assert rx.rx_seq_errors >= 1
+
+
+def test_ofh_rx_uplane_without_cplane_dropped():
+    frames, rx, got, _ = _mk_pair()
+    for f in frames[1:]:               # drop the C-plane frame
+        rx.handle_rx_frame(f)
+    assert not got
+    assert rx.rx_no_cplane == len(frames) - 1
+    # late C-plane then re-sent U-plane completes (retransmission path)
+    rx2 = OfhSector(OfhSectorConfig(nof_prb=24, eaxc_ul=0),
+                    lambda f: None)
+    got2 = {}
+    rx2.on_ul_slot = lambda key, grid: got2.update({key: grid})
+    rx2.handle_rx_frame(frames[0])
+    for f in frames[1:]:
+        rx2.handle_rx_frame(f)
+    assert (1, 0, 0) in got2
