@@ -48,13 +48,19 @@ def generate(cfg: CsiRsConfig, grid: jnp.ndarray) -> jnp.ndarray:
         seq_per_prb = 2
     else:
         raise NotImplementedError(f"CSI-RS row {cfg.row}")
-    prbs = np.arange(cfg.prb_start, cfg.prb_start + cfg.nof_prb)
-    scs = (prbs[:, None] * NRE + offs[None, :]).reshape(-1)
-    npil = len(scs)
+    npil = cfg.nof_prb * seq_per_prb
     m0 = seq_per_prb * cfg.prb_start
     c = gold.gold_sequence(jnp.asarray(_cinit(cfg), dtype=jnp.uint32),
                            2 * npil, offset=2 * m0).astype(jnp.float32)
     pil = (((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
-           ).astype(jnp.complex64)
-    return grid.at[..., cfg.symbol, jnp.asarray(scs)].set(
-        cfg.amplitude * pil)
+           ).astype(jnp.complex64) * cfg.amplitude
+    # TPU-structured write: view the allocation's symbol row as
+    # [nof_prb, NRE] and update the per-PRB offset columns with basic
+    # (integer) indexing — dynamic_update_slice, not scatter.
+    lo = cfg.prb_start * NRE
+    seg = grid[..., cfg.symbol, lo:lo + cfg.nof_prb * NRE]
+    blk = seg.reshape(*seg.shape[:-1], cfg.nof_prb, NRE)
+    for i, off in enumerate(offs):
+        blk = blk.at[..., int(off)].set(pil[i::seq_per_prb])
+    return grid.at[..., cfg.symbol, lo:lo + cfg.nof_prb * NRE].set(
+        blk.reshape(*seg.shape))

@@ -124,28 +124,47 @@ def encode_dci(payload: jnp.ndarray, cfg: PdcchConfig) -> jnp.ndarray:
     return polar_rm.match(x, cfg.code)[0]
 
 
+def _pdcch_dmrs(cfg: PdcchConfig, l: int, first_prb: int, npil: int
+                ) -> jnp.ndarray:
+    """Gold-QPSK DM-RS pilots of one CORESET symbol (3/PRB, §7.4.1.3)."""
+    cinit = dmrs_ops.dmrs_cinit(0, l, cfg.n_id, 0)
+    m0 = 3 * first_prb
+    c = gold.gold_sequence(jnp.asarray(cinit, dtype=jnp.uint32),
+                           2 * npil, offset=2 * m0).astype(jnp.float32)
+    pil = ((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
+    return pil.astype(jnp.complex64)
+
+
 def pdcch_transmit(payload: jnp.ndarray, cfg: PdcchConfig,
                    grid: jnp.ndarray) -> jnp.ndarray:
     bits = encode_dci(payload, cfg)
     seq = gold.gold_sequence(
         jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.e)
     syms = modulation.modulate(bits ^ seq, 2)
+    if not cfg.interleaved and cfg.nof_symbols == 1:
+        # Structured mapping (TPU: slices, no scatters): the candidate is
+        # one contiguous AL·6-PRB span on one symbol; view it as
+        # [nreg·3, 4] quads — k≡1 (mod 4) is DM-RS, the rest data — and
+        # write the interleave with ONE slice update.
+        nregs = cfg.aggregation_level * 6
+        first_prb = cfg.coreset_start_prb + cfg.cce_index * 6
+        lo = first_prb * NRE
+        l = cfg.start_symbol
+        pil = _pdcch_dmrs(cfg, l, first_prb, nregs * 3)
+        quads = jnp.stack(
+            [syms[0::3], pil, syms[1::3], syms[2::3]], axis=-1)
+        return grid.at[..., l, lo:lo + nregs * NRE].set(
+            quads.reshape(-1))
     dsym, dsc, msym, msc = cfg.re_indices
     grid = grid.at[..., jnp.asarray(dsym), jnp.asarray(dsc)].set(syms)
     # DM-RS: Gold-QPSK pilots per symbol, sequence indexed by absolute PRB
     # (3 pilots per PRB, TS 38.211 §7.4.1.3).
-    nregs_per_sym = len(msc) // cfg.nof_symbols
     for li in range(cfg.nof_symbols):
         l = cfg.start_symbol + li
-        cinit = dmrs_ops.dmrs_cinit(0, l, cfg.n_id, 0)
         sel = np.asarray(msym) == l
         ks = np.asarray(msc)[sel]
-        m0 = 3 * (ks[0] // NRE)
-        npil = len(ks)
-        c = gold.gold_sequence(jnp.asarray(cinit, dtype=jnp.uint32),
-                               2 * npil, offset=2 * m0).astype(jnp.float32)
-        pil = ((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
-        grid = grid.at[..., l, jnp.asarray(ks)].set(pil.astype(jnp.complex64))
+        pil = _pdcch_dmrs(cfg, l, int(ks[0] // NRE), len(ks))
+        grid = grid.at[..., l, jnp.asarray(ks)].set(pil)
     return grid
 
 

@@ -82,11 +82,11 @@ def pucch_f1_transmit(bits: jnp.ndarray, cfg: PucchF1Config,
     dmrs_seqs = jnp.asarray(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
     w_d = jnp.asarray(_occ_w(len(cfg.data_symbols), cfg.occ_index))
     w_m = jnp.asarray(_occ_w(len(cfg.dmrs_symbols), cfg.occ_index))
-    sc = jnp.arange(cfg.prb * NRE, (cfg.prb + 1) * NRE)
+    lo = cfg.prb * NRE
     for i, l in enumerate(cfg.data_symbols):
-        grid = grid.at[..., l, sc].set(d * w_d[i] * data_seqs[i])
+        grid = grid.at[..., l, lo:lo + NRE].set(d * w_d[i] * data_seqs[i])
     for i, l in enumerate(cfg.dmrs_symbols):
-        grid = grid.at[..., l, sc].set(w_m[i] * dmrs_seqs[i])
+        grid = grid.at[..., l, lo:lo + NRE].set(w_m[i] * dmrs_seqs[i])
     return grid
 
 
@@ -103,17 +103,19 @@ def pucch_f1_detect(rx_grid: jnp.ndarray, cfg: PucchF1Config,
     (pucch_detector_impl.cpp re-expressed as batched correlation)."""
     if rx_grid.ndim == 2:
         rx_grid = rx_grid[None]
-    sc = jnp.arange(cfg.prb * NRE, (cfg.prb + 1) * NRE)
+    lo = cfg.prb * NRE
     data_seqs = jnp.asarray(_f1_symbol_seqs(cfg, cfg.data_symbols))
     dmrs_seqs = jnp.asarray(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
     w_d = jnp.asarray(_occ_w(len(cfg.data_symbols), cfg.occ_index))
     w_m = jnp.asarray(_occ_w(len(cfg.dmrs_symbols), cfg.occ_index))
 
     # Despread DM-RS symbols -> channel estimate per rx port.
-    y_m = jnp.stack([rx_grid[..., l, sc] for l in cfg.dmrs_symbols], axis=-2)
+    y_m = jnp.stack([rx_grid[..., l, lo:lo + NRE]
+                     for l in cfg.dmrs_symbols], axis=-2)
     h_est = jnp.mean(y_m * jnp.conj(dmrs_seqs * w_m[:, None]), axis=-2)
     # Despread data symbols -> modulated symbol estimate.
-    y_d = jnp.stack([rx_grid[..., l, sc] for l in cfg.data_symbols], axis=-2)
+    y_d = jnp.stack([rx_grid[..., l, lo:lo + NRE]
+                     for l in cfg.data_symbols], axis=-2)
     d_est_res = y_d * jnp.conj(data_seqs * w_d[:, None])
     # MRC across subcarriers, symbols and rx ports.
     num = jnp.sum(jnp.conj(h_est)[..., None, :] * d_est_res, axis=(-2, -1))

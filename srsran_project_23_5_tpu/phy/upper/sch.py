@@ -275,8 +275,14 @@ def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
             chunk = syms[pos:pos + cfg.nof_prb * nk]
             pos += cfg.nof_prb * nk
             block = jnp.zeros((cfg.nof_prb, NRE), syms.dtype)
-            block = block.at[:, jnp.asarray(keep)].set(
-                chunk.reshape(cfg.nof_prb, nk))
+            if keep == tuple(range(keep[0], keep[0] + nk)):
+                # contiguous kept offsets (e.g. one reserved CSI-RS RE at
+                # the PRB edge): slice update, no scatter (TPU)
+                block = block.at[:, keep[0]:keep[0] + nk].set(
+                    chunk.reshape(cfg.nof_prb, nk))
+            else:
+                block = block.at[:, jnp.asarray(keep)].set(
+                    chunk.reshape(cfg.nof_prb, nk))
             row = block.reshape(width)
         elif kind == "comb_data":
             chunk = syms[pos:pos + width // 2]
@@ -330,6 +336,22 @@ def _scramble_modulate_map(codeword: jnp.ndarray, cfg: ShConfig,
     return grid + precoding.apply_precoding(
         layer_grids.reshape(cfg.nof_layers, -1), w
     ).reshape(nports, *grid.shape[1:])
+
+
+def symbol_check(demod: PuschDemod, codeword: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of codeword bits whose hard LLR decision matches.
+
+    UE-side loopback verification of a DL shared channel WITHOUT an LDPC
+    decode: `demod.sch_llr` already traversed TX mapping → OFDM → channel
+    → estimation → equalization → demapping → descrambling, so a hard-bit
+    match against the known codeword pins the whole symbol-level chain.
+    (The gNB never decodes its own PDSCH — lib/phy/upper has no DL
+    receiver — so this check stays out of the measured gNB slot budget
+    narrative while still verifying every benched slot.)
+    """
+    hard = (demod.sch_llr < 0).astype(jnp.int8)
+    return jnp.mean((hard == codeword.astype(jnp.int8)
+                     ).astype(jnp.float32))
 
 
 def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
@@ -422,6 +444,10 @@ class PuschDemod:
     # captures rx-combining / MIMO separation gain, unlike rsrp/noise_var
     post_noise_var: jnp.ndarray | None = None
     ta_norm: jnp.ndarray | None = None
+    # descrambled SCH LLRs in codeword order [g_sch], pre-dematch: lets a
+    # UE-side loopback verify the TX+OFDM+equalizer chain by hard-bit
+    # comparison against the known codeword without paying an LDPC decode
+    sch_llr: jnp.ndarray | None = None
 
     # tuple-style unpacking kept for the pre-UCI callers/tests
     def __iter__(self):
@@ -454,16 +480,29 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
     rx_pilots = jnp.stack(
         [rx_grid[..., l, lo:hi][..., 0::2] for l in cfg.dmrs_symbols],
         axis=-2)                                          # [nrx, ndmrs, npil]
+    def _keep_resv(x, l):
+        keep = cfg.reserved_keep_offsets[l]
+        nk = len(keep)
+        blk = x.reshape(*x.shape[:-1], cfg.nof_prb, NRE)
+        if keep == tuple(range(keep[0], keep[0] + nk)):
+            kept = blk[..., keep[0]:keep[0] + nk]
+        else:
+            kept = blk[..., jnp.asarray(keep)]
+        return kept.reshape(*x.shape[:-1], cfg.nof_prb * nk)
+
     if cfg.nof_layers == 2:
         # CDM-OCC despread → per-layer channel [nrx, 2, width], then n×2
         # joint ZF per RE (equalize_zf_2x2.cpp generalized).
         est = estimator.estimate_comb2_occ2(rx_pilots, tx_pilots)
         y_rows, h_rows = [], []
         for l, kind in cfg.symbol_plan:
-            if kind != "full":
-                continue                                  # CDM=2: dmrs-only
-            y_rows.append(rx_grid[..., l, lo:hi])
-            h_rows.append(est.h_alloc)
+            if kind == "full":
+                y_rows.append(rx_grid[..., l, lo:hi])
+                h_rows.append(est.h_alloc)
+            elif kind == "reserved":
+                y_rows.append(_keep_resv(rx_grid[..., l, lo:hi], l))
+                h_rows.append(_keep_resv(est.h_alloc, l))
+            # else: CDM=2 DM-RS symbols carry no data
         y = jnp.concatenate(y_rows, axis=-1)              # [nrx, n_re]
         h = jnp.concatenate(h_rows, axis=-1)              # [nrx, 2, n_re]
         noise_var = jnp.maximum(jnp.mean(est.noise_var), 1e-9)
@@ -491,7 +530,7 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
                           rsrp=jnp.mean(est.rsrp), evm=evm,
                           ack_llr=ack_llr, csi1_llr=csi1_llr,
                           csi2_llr=csi2_llr,
-                          post_noise_var=jnp.mean(nv_lay))
+                          post_noise_var=jnp.mean(nv_lay), sch_llr=sch_llr)
     est = estimator.estimate_comb2(rx_pilots, tx_pilots,
                                    time_interp=cfg.time_interp)
 
@@ -505,12 +544,6 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
         return (1.0 - w1) * h0 + w1 * est.h_dmrs[..., d1, :]
 
     # --- extract + equalize data REs, symbol rows in mapping order
-    def _keep_resv(x, l):
-        keep = cfg.reserved_keep_offsets[l]
-        blk = x.reshape(*x.shape[:-1], cfg.nof_prb, NRE)
-        return blk[..., jnp.asarray(keep)].reshape(
-            *x.shape[:-1], cfg.nof_prb * len(keep))
-
     y_rows, h_rows = [], []
     for l, kind in cfg.symbol_plan:
         row = rx_grid[..., l, lo:hi]
@@ -556,7 +589,7 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
                       rsrp=jnp.mean(est.rsrp), evm=evm, ack_llr=ack_llr,
                       csi1_llr=csi1_llr, csi2_llr=csi2_llr,
                       post_noise_var=jnp.mean(post_nv),
-                      ta_norm=jnp.mean(est.ta_norm))
+                      ta_norm=jnp.mean(est.ta_norm), sch_llr=sch_llr)
 
 
 def pusch_decode(llr_full: jnp.ndarray, cfg: ShConfig,

@@ -204,21 +204,46 @@ def dmrs_pbch_pilots(cfg: SsbConfig) -> jnp.ndarray:
 
 def ssb_assemble(payload: jnp.ndarray, cfg: SsbConfig,
                  amplitude: float = 1.0) -> jnp.ndarray:
-    """Build the full [4, 240] SS/PBCH block (ssb_processor_impl.cpp)."""
-    block = jnp.zeros((SSB_NSYM, SSB_NSC), dtype=jnp.complex64)
-    block = block.at[0, 56:183].set(
+    """Build the full [4, 240] SS/PBCH block (ssb_processor_impl.cpp).
+
+    TPU-structured: every symbol row is a comb-4 interleave assembled as
+    [n, 4] quads (DM-RS at k ≡ v mod 4, data elsewhere) and written with
+    slice updates — no generic scatters (they serialize on TPU).  The
+    value layout is identical to the `_data_positions`/`_dmrs_positions`
+    index order used by the receiver.
+    """
+    v = cfg.pci % 4
+    coded = pbch_encode(payload, cfg)
+    syms = modulation.modulate(coded, 2) * amplitude
+    pil = dmrs_pbch_pilots(cfg) * amplitude
+    dcols = [j for j in range(4) if j != v]
+
+    def comb_rows(data_chunk, pil_chunk, nquad):
+        """[nquad, 4] quads: col v = pilots, other cols = data in order."""
+        cols = [None] * 4
+        cols[v] = pil_chunk
+        for i, j in enumerate(dcols):
+            cols[j] = data_chunk[i::3]
+        return jnp.stack(cols, axis=-1).reshape(nquad * 4)
+
+    # data order: sym1 (180), sym2 lo (36), sym2 hi (36), sym3 (180)
+    # pilot order: sym1/sym3 interleaved per sc (120), sym2 lo+hi (24)
+    d1, d2a, d2b, d3 = (syms[:180], syms[180:216], syms[216:252],
+                        syms[252:432])
+    p1, p3 = pil[0:120:2], pil[1:120:2]
+    p2a, p2b = pil[120:132], pil[132:144]
+
+    row0 = jnp.zeros((SSB_NSC,), jnp.complex64).at[56:183].set(
         amplitude * jnp.asarray(pss_sequence(cfg.nid2)).astype(jnp.complex64))
-    block = block.at[2, 56:183].set(
+    row1 = comb_rows(d1, p1, 60)
+    row2 = jnp.zeros((SSB_NSC,), jnp.complex64)
+    row2 = row2.at[0:48].set(comb_rows(d2a, p2a, 12))
+    row2 = row2.at[192:240].set(comb_rows(d2b, p2b, 12))
+    row2 = row2.at[56:183].set(
         amplitude * jnp.asarray(sss_sequence(cfg.nid1, cfg.nid2)
                                 ).astype(jnp.complex64))
-    coded = pbch_encode(payload, cfg)
-    syms = modulation.modulate(coded, 2)
-    dsym, dsc = _data_positions(cfg)
-    block = block.at[jnp.asarray(dsym), jnp.asarray(dsc)].set(amplitude * syms)
-    msym, msc = _dmrs_positions(cfg)
-    block = block.at[jnp.asarray(msym), jnp.asarray(msc)].set(
-        amplitude * dmrs_pbch_pilots(cfg))
-    return block
+    row3 = comb_rows(d3, p3, 60)
+    return jnp.stack([row0, row1, row2, row3])
 
 
 def ssb_receive_pbch(block: jnp.ndarray, cfg: SsbConfig,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,14 +76,50 @@ class UpperPhy:
                         prach_rx: jnp.ndarray | None = None
                         ) -> list[object]:
         """Run the slot's UL PDUs; returns FAPI indications
-        (uplink_processor_impl.cpp:94-173)."""
-        out: list[object] = []
+        (uplink_processor_impl.cpp:94-173).
+
+        Two phases (VERDICT r3 P4 fix): every PDU's device work is
+        dispatched asynchronously first — XLA queues all programs
+        back-to-back with NO host sync between PDUs — then the host
+        blocks ONCE and materializes the slot's indications.  (The
+        reference gets slot-level concurrency from its uplink processor
+        pool, upper_phy_factories.cpp:108-127; here the device queue IS
+        the pool.)
+        """
+        pend_pusch, pend_pucch, pend_prach = [], [], []
         for pdu in req.pusch_pdus:
             cfg = pdu.config
-            llr, nv, rsrp = sch.pusch_demodulate(rx_grid, cfg)
-            llr = self.softbuffers.combine(cfg.rnti, pdu.harq_process, llr,
-                                           pdu.new_data, slot_count)
-            res = sch.pusch_decode(llr, cfg, nv, rsrp)
+            d = sch.pusch_demodulate(rx_grid, cfg)
+            llr = self.softbuffers.combine(cfg.rnti, pdu.harq_process,
+                                           d.llr_full, pdu.new_data,
+                                           slot_count)
+            res = sch.pusch_decode(llr, cfg, d.noise_var, d.rsrp, demod=d)
+            pend_pusch.append((pdu, res))
+        for pdu in req.pucch_pdus:
+            r1 = (pucch_proc.pucch_f1_detect(rx_grid, pdu.format1)
+                  if pdu.format1 is not None else None)
+            r2 = (pucch_proc.pucch_f2_receive(rx_grid, pdu.format2)
+                  if pdu.format2 is not None else None)
+            pend_pucch.append((pdu, r1, r2))
+        for pdu in req.prach_pdus:
+            if prach_rx is None:
+                continue
+            metric, delay, _ = prach_ops.detect(
+                prach_rx, pdu.root_sequence_index, pdu.length,
+                pdu.zero_correlation_zone)
+            pend_prach.append((pdu, metric, delay))
+
+        # ---- single sync point for the whole slot
+        jax.block_until_ready(
+            [[r.tb_crc_ok for _, r in pend_pusch],
+             [x for _, r1, r2 in pend_pucch
+              for x in (r1.detection_metric if r1 else None,
+                        r2.metric if r2 else None) if x is not None],
+             [m for _, m, _ in pend_prach]])
+
+        out: list[object] = []
+        for pdu, res in pend_pusch:
+            cfg = pdu.config
             ok = bool(res.tb_crc_ok)
             if ok:
                 self.softbuffers.release(cfg.rnti, pdu.harq_process)
@@ -92,24 +129,17 @@ class UpperPhy:
             out.append(fapi.CrcIndication(
                 req.sfn, req.slot, cfg.rnti, pdu.harq_process, ok,
                 float(res.sinr_db)))
-        for pdu in req.pucch_pdus:
-            if pdu.format1 is not None:
-                r = pucch_proc.pucch_f1_detect(rx_grid, pdu.format1)
+        for pdu, r1, r2 in pend_pucch:
+            if r1 is not None:
                 out.append(fapi.UciIndication(
-                    req.sfn, req.slot, 0, np.asarray(r.bits), None,
-                    bool(r.detected), float(r.detection_metric)))
-            if pdu.format2 is not None:
-                r2 = pucch_proc.pucch_f2_receive(rx_grid, pdu.format2)
+                    req.sfn, req.slot, 0, np.asarray(r1.bits), None,
+                    bool(r1.detected), float(r1.detection_metric)))
+            if r2 is not None:
                 out.append(fapi.UciIndication(
                     req.sfn, req.slot, pdu.format2.rnti, None,
                     np.asarray(r2.uci_bits), bool(r2.detected),
                     float(r2.metric)))
-        for pdu in req.prach_pdus:
-            if prach_rx is None:
-                continue
-            metric, delay, _ = prach_ops.detect(
-                prach_rx, pdu.root_sequence_index, pdu.length,
-                pdu.zero_correlation_zone)
+        for pdu, metric, delay in pend_prach:
             m = np.asarray(metric)[0]
             d = np.asarray(delay)[0]
             hits = [(int(i), float(m[i]), float(d[i]))
