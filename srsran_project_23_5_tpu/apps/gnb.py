@@ -6,10 +6,12 @@ against an in-process AMF stub (or an external NGAP address), and runs
 the slot loop.
 
 Loopback-UE demo mode (`ue.enabled`): an in-framework UE attaches and
-exchanges user-plane traffic. In `phy: loopback` the PDSCH/PUSCH data
-path runs through the real jitted PHY (OFDM + LDPC on device); PRACH and
-HARQ-ACK feedback are short-circuited at the MAC boundary in this app
-(their PHY chains are exercised by the unit/e2e test suites).
+exchanges user-plane traffic. In `phy: loopback` EVERY exchange crosses
+the air interface: the UE transmits PRACH onto baseband and the gNB
+detects it (TA from the detector → RAR), RAR/SIB1 are PDSCH-decoded by
+the UE from its blind-decoded DCIs, HARQ-ACK rides PUCCH F1 selected by
+the DCI's PRI, SR and periodic CSI ride PUCCH, and residual PUSCH timing
+error closes through TA command CEs (apps/phy_loop.py).
 
 Usage:  python -m srsran_project_23_5_tpu.apps.gnb -c gnb.yml [--slots N]
 """
@@ -49,6 +51,8 @@ class GnbConfig:
     realtime: bool = False
     slots: int = 400
     snr_db: float = 30.0
+    ue_delay_samples: float = 0.0      # UE timing error the TA loop fixes
+    validate_fapi: bool = True         # fapi.validators on every slot
     log_level: str = "warning"
     log_file: Optional[str] = None
     mac_pcap: Optional[str] = None
@@ -80,6 +84,7 @@ class GnbConfig:
             realtime=raw.get("realtime", False),
             slots=raw.get("slots", 400),
             snr_db=raw.get("snr_db", 30.0),
+            ue_delay_samples=ue.get("delay_samples", 0.0),
             log_level=log.get("level", "warning"),
             log_file=log.get("file"),
             mac_pcap=raw.get("pcap", {}).get("mac"),
@@ -173,7 +178,8 @@ class Gnb:
                 import jax
                 jax.config.update("jax_platforms", "cpu")
             from . import phy_loop
-            self._phy = phy_loop.PhyLoop(self.cell, cfg.snr_db)
+            self._phy = phy_loop.PhyLoop(self.cell, cfg.snr_db,
+                                         cfg.ue_delay_samples)
 
         self.ue = UeEmulator() if cfg.ue_enabled else None
         self._ue_traffic_started = False
@@ -219,36 +225,26 @@ class Gnb:
         out = self.du.run_slot(slot)
         dl_req, tx_req, ul_req, _ul_dci = self.mac_to_fapi.translate(
             out, sfn, slot)
+        if self.cfg.validate_fapi:
+            from ..fapi import validators as fv
+            # the app's slot field is the absolute slot counter (the
+            # scheduler/PHY queues key off it); bound accordingly
+            nslots = max(self.cell.slots_per_frame, self.cfg.slots + 1)
+            errs = (fv.validate_dl_tti(dl_req, self.cell.nof_prb, nslots)
+                    + fv.validate_tx_data(tx_req, dl_req)
+                    + fv.validate_ul_tti(ul_req, self.cell.nof_prb,
+                                         nslots))
+            fv.validate_or_raise(errs, f"slot {slot}")
         ue = self.ue
-        if self._phy is not None and (dl_req.pdsch_pdus
-                                      or ul_req.pusch_pdus):
+        if self._phy is not None:
+            if ue is not None:
+                ue.timers.tick(1)
             inds = self._phy.run_slot(dl_req, tx_req, ul_req, out, ue)
             self.fapi_to_mac.handle_indications(inds)
-            if ue is not None:
-                self._ue_mac_feedback(out, slot)
         elif ue is not None:
             ue.step(self.du.mac, out, slot)
         if ue is not None:
             self._maybe_start_traffic()
-
-    def _ue_mac_feedback(self, out, slot) -> None:
-        """MAC-boundary feedback not carried by the PHY loop (PRACH +
-        HARQ-ACK short-circuit)."""
-        ue = self.ue
-        ue.timers.tick(1)
-        res = out.result
-        if res.prach_occasion and ue.want_prach():
-            self.du.mac.handle_rach_indication(slot, 0, ue.preamble, 0)
-        for ra_rnti, rar_wire in out.rar_pdus.items():
-            from ..mac import pdu as mac_pdu
-            for g in mac_pdu.decode_rar_pdu(rar_wire):
-                if g.rapid == ue.preamble and ue.rnti is None:
-                    ue.rnti = g.tc_rnti
-        for (rnti, pid) in out.dl_pdus:
-            if rnti == ue.rnti:
-                self.du.mac.handle_harq_ack(rnti, pid, True)
-        if ue.rnti is not None and ue._ul_buffer():
-            self.du.mac.scheduler.handle_bsr(ue.rnti, ue._ul_buffer())
 
     def _maybe_start_traffic(self) -> None:
         ue = self.ue
@@ -279,7 +275,10 @@ class Gnb:
                 "ue_rrc_state": self.ue.rrc.state,
                 "ue_dl_rx_packets": len(self.ue.ip_rx),
                 "core_ul_rx_packets": len(self.core_rx),
+                "ue_ta_samples": self.ue.timing_advance_samples,
             })
+        if self._phy is not None:
+            rep["phy_stats"] = dict(self._phy.stats)
         return rep
 
 

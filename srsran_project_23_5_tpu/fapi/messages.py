@@ -81,6 +81,12 @@ class PrachPdu:
     length: int = 839                 # 839 long / 139 short
     zero_correlation_zone: int = 13   # N_cs
     occasion: int = 0
+    # in-grid short-format geometry (139-subcarrier window repeated over
+    # nof_symbols OFDM symbols; the lower PHY slices these REs out of the
+    # demodulated UL grid)
+    sc_start: int = 0
+    nof_symbols: int = 12
+    nof_preambles: int = 64
 
 
 @dataclasses.dataclass
@@ -94,6 +100,9 @@ class PuschPdu:
 class PucchPdu:
     format1: Optional[PucchF1Config] = None
     format2: Optional[PucchF2Config] = None
+    rnti: int = 0
+    harq_pid: int = 0                 # DL HARQ the F1 ACK closes
+    is_sr: bool = False               # F1 resource is an SR opportunity
 
 
 @dataclasses.dataclass
@@ -115,6 +124,9 @@ class CrcIndication:
     harq_process: int
     tb_crc_ok: bool
     sinr_db: float
+    # PUSCH time-alignment estimate (samples at the carrier rate) — the
+    # MAC turns residual error into a TA command CE
+    ta_samples: float = 0.0
 
 
 @dataclasses.dataclass
@@ -135,6 +147,8 @@ class UciIndication:
     uci_bits: Optional[np.ndarray]
     detected: bool
     metric: float
+    harq_pid: int = -1                # DL HARQ the F1 ACK closes
+    is_sr: bool = False
 
 
 @dataclasses.dataclass

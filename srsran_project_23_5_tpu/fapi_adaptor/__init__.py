@@ -20,7 +20,7 @@ import numpy as np
 from ..fapi import messages as fapi
 from ..mac import MacCellProcessor, MacSlotOutput
 from ..phy.upper.pdcch import PdcchConfig
-from ..phy.upper.pucch import PucchF1Config
+from ..phy.upper.pucch import PucchF1Config, PucchF2Config
 from ..phy.upper.sch import ShConfig
 from ..phy.upper.ssb import SsbConfig
 from ..scheduler import CellConfig, dci as dci_mod
@@ -67,7 +67,8 @@ class MacToFapiTranslator:
         d = dci_mod.Dci(is_dl=isinstance(g, DlGrant),
                         prb_start=g.prb_start, prb_len=g.prb_len,
                         mcs=g.mcs, ndi=int(g.ndi), rv=g.rv,
-                        harq_pid=g.harq_pid)
+                        harq_pid=g.harq_pid,
+                        pri=max(getattr(g, "pucch_pri", 0), 0))
         cfg = PdcchConfig(
             rnti=g.rnti, payload_size=dci_mod.dci_size(n),
             aggregation_level=g.aggregation_level, cce_index=g.cce_index,
@@ -136,14 +137,28 @@ class MacToFapiTranslator:
                 self._sh_config(g, slot, False), harq_process=g.harq_pid,
                 new_data=(g.rv == 0)))
         for p in res.pucch:
-            ul.pucch_pdus.append(fapi.PucchPdu(format1=PucchF1Config(
-                prb=p.prb, nof_harq_bits=p.nof_harq_bits,
-                initial_cyclic_shift=p.initial_cyclic_shift,
-                slot_in_frame=slot % self.cell.slots_per_frame)))
+            if p.format == 1:
+                ul.pucch_pdus.append(fapi.PucchPdu(
+                    format1=PucchF1Config(
+                        prb=p.prb, nof_harq_bits=p.nof_harq_bits,
+                        initial_cyclic_shift=p.initial_cyclic_shift,
+                        slot_in_frame=slot % self.cell.slots_per_frame),
+                    rnti=p.rnti, harq_pid=p.harq_pid,
+                    is_sr=(p.harq_pid == -1)))
+            else:
+                ul.pucch_pdus.append(fapi.PucchPdu(
+                    format2=PucchF2Config(
+                        prb_start=p.prb, nof_prb=1,
+                        rnti=p.rnti, nof_uci_bits=p.nof_uci_bits,
+                        slot_in_frame=slot % self.cell.slots_per_frame),
+                    rnti=p.rnti))
         if res.prach_occasion:
-            ul.prach_pdus.append(fapi.PrachPdu(root_sequence_index=1,
-                                               length=839,
-                                               zero_correlation_zone=13))
+            ul.prach_pdus.append(fapi.PrachPdu(
+                root_sequence_index=self.cell.prach_root_sequence,
+                length=139,
+                zero_correlation_zone=self.cell.prach_zero_correlation_zone,
+                sc_start=self.cell.prach_prb_start * 12,
+                nof_preambles=self.cell.prach_nof_preambles))
         return dl, tx, ul, ul_dci
 
 
@@ -163,7 +178,8 @@ class FapiToMacTranslator:
         for ind in indications:
             if isinstance(ind, fapi.CrcIndication):
                 self.mac.handle_crc_indication(ind.rnti, ind.harq_process,
-                                               ind.tb_crc_ok, ind.sinr_db)
+                                               ind.tb_crc_ok, ind.sinr_db,
+                                               ind.ta_samples)
             elif isinstance(ind, fapi.CsiIndication):
                 self.mac.handle_csi_report(ind.rnti, ind.cqi)
             elif isinstance(ind, fapi.RxDataIndication):
@@ -171,12 +187,34 @@ class FapiToMacTranslator:
                 self.mac.handle_rx_pdu(
                     ind.rnti, _bytes(ind.payload[: nof_bytes * 8]))
             elif isinstance(ind, fapi.UciIndication):
-                ctx = self._ack_ctx.pop((ind.sfn, ind.slot), [])
-                ack = bool(ind.detected) and (
-                    ind.harq_bits is None or bool(np.all(ind.harq_bits)))
-                for rnti, harq in ctx:
-                    self.mac.handle_harq_ack(rnti, harq, ack)
+                self._handle_uci(ind)
             elif isinstance(ind, fapi.RachIndication):
                 for idx, _metric, delay in ind.preambles:
                     self.mac.handle_rach_indication(
                         ind.slot, ind.occasion, idx, int(delay))
+
+    def _handle_uci(self, ind: fapi.UciIndication) -> None:
+        """UCI routing: SR → scheduler, F2 CSI → CQI report, F1 HARQ →
+        the HARQ process named by the PDU (fapi_to_mac uci routing)."""
+        if ind.is_sr:
+            if ind.detected:
+                self.mac.scheduler.handle_sr_indication(ind.rnti)
+            return
+        if ind.uci_bits is not None:
+            if ind.detected:
+                bits = np.asarray(ind.uci_bits).astype(np.int64)
+                cqi = 0
+                for b in bits[:4]:
+                    cqi = (cqi << 1) | int(b)
+                self.mac.handle_csi_report(ind.rnti, cqi)
+            return
+        if ind.harq_bits is not None and ind.harq_pid >= 0:
+            ack = bool(ind.detected) and bool(np.all(ind.harq_bits))
+            self.mac.handle_harq_ack(ind.rnti, ind.harq_pid, ack)
+            return
+        # legacy path: slot-registered ack context
+        ctx = self._ack_ctx.pop((ind.sfn, ind.slot), [])
+        ack = bool(ind.detected) and (
+            ind.harq_bits is None or bool(np.all(ind.harq_bits)))
+        for rnti, harq in ctx:
+            self.mac.handle_harq_ack(rnti, harq, ack)

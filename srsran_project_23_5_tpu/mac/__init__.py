@@ -119,6 +119,12 @@ class MacCellProcessor:
                 subpdus.append(mac_pdu.ce_con_res(ue.conres_id))
                 budget -= 7
                 sched_ue.pending_conres = False
+            if sched_ue is not None and sched_ue.pending_ta_cmd is not None:
+                # uplink time-alignment maintenance: residual PUSCH TA →
+                # TA command CE (ta_cmd CE in dl_sch_pdu_assembler)
+                subpdus.append(mac_pdu.ce_ta_cmd(sched_ue.pending_ta_cmd))
+                budget -= 2
+                sched_ue.pending_ta_cmd = None
             for lcid in sorted(ue.bearers):
                 rlc = ue.bearers[lcid]
                 while budget > 3 and rlc.buffer_state() > 0:
@@ -166,9 +172,10 @@ class MacCellProcessor:
         self.scheduler.handle_csi_report(rnti, cqi)
 
     def handle_crc_indication(self, rnti: int, harq_pid: int,
-                              ok: bool, sinr_db: float | None = None
-                              ) -> None:
-        self.scheduler.handle_crc_indication(rnti, harq_pid, ok, sinr_db)
+                              ok: bool, sinr_db: float | None = None,
+                              ta_samples: float | None = None) -> None:
+        self.scheduler.handle_crc_indication(rnti, harq_pid, ok, sinr_db,
+                                             ta_samples)
 
     def handle_harq_ack(self, rnti: int, harq_pid: int, ack: bool) -> None:
         self.scheduler.handle_harq_ack(rnti, harq_pid, ack)

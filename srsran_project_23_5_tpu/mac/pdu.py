@@ -95,6 +95,19 @@ def decode_pdu(data: bytes, uplink: bool = False) -> list[SubPdu]:
 
 
 # ------------------------------------------------------- control elements
+def ce_ta_cmd(delta_samples: int) -> SubPdu:
+    """Timing Advance Command CE (TS 38.321 §6.1.3.4, 1 byte).  The
+    6-bit field carries T_A; this stack's granularity is 1 carrier sample
+    with the neutral point at 31 (applied delta = T_A - 31)."""
+    ta = max(0, min(63, int(delta_samples) + 31))
+    return SubPdu(LCID_DL_TA_CMD, bytes([ta & 0x3F]))
+
+
+def parse_ta_cmd(payload: bytes) -> int:
+    """TA command CE payload → signed sample delta."""
+    return (payload[0] & 0x3F) - 31
+
+
 def ce_con_res(ue_identity: bytes) -> SubPdu:
     """UE Contention Resolution Identity: first 48 bits of the Msg3 CCCH
     SDU (§6.1.3.3)."""

@@ -14,10 +14,19 @@ def allocate(info_bits: jnp.ndarray, info_set: tuple[int, ...],
     """Place K info bits into the u-domain vector (frozen = 0).
 
     info_bits: [..., K] {0,1}; returns [..., N].
-    Counterpart of polar_allocator_impl.cpp.
+    Counterpart of polar_allocator_impl.cpp.  Expressed as one static
+    GATHER (u = extended_info[perm]) instead of a scatter — generic
+    scatters serialize (and int8 scatters have misbehaved) on the TPU
+    backend.
     """
-    u = jnp.zeros((*info_bits.shape[:-1], n), dtype=info_bits.dtype)
-    return u.at[..., jnp.asarray(info_set)].set(info_bits)
+    import numpy as np
+
+    k = info_bits.shape[-1]
+    perm = np.full(n, k, dtype=np.int32)      # index k = the frozen zero
+    perm[np.asarray(info_set, dtype=np.int32)] = np.arange(k)
+    zero = jnp.zeros((*info_bits.shape[:-1], 1), dtype=info_bits.dtype)
+    ext = jnp.concatenate([info_bits, zero], axis=-1)
+    return ext[..., jnp.asarray(perm)]
 
 
 def encode(u: jnp.ndarray) -> jnp.ndarray:

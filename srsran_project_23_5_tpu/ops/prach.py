@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .devconst import const_c64
 from .sequences import zadoff_chu
 
 
@@ -89,7 +90,7 @@ def detect_cv(rx_freq: jnp.ndarray, root: int, length: int,
     Serves both the unrestricted (C_v = v·N_cs) and restricted-set
     windows.  win_chips bounds each preamble's delay search span.
     """
-    y = jnp.asarray(root_sequence_freq(root, length))
+    y = const_c64(root_sequence_freq(root, length))
     corr = rx_freq * jnp.conj(y)
     pad = jnp.zeros((*rx_freq.shape[:-1], dft_size - length), corr.dtype)
     padded = jnp.concatenate([corr, pad], axis=-1)

@@ -2,10 +2,12 @@
 
 Counterpart of the reference's channel_precoder (generic + AVX2,
 lib/phy/upper/precoding/channel_precoder_avx2.cpp): RE × precoding-matrix
-products, batched over all REs — a natural einsum on TPU.
+products, batched over all REs, decomposed into scalar-plane
+multiply-adds (the axon TPU backend lacks complex dot/einsum).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,8 +41,31 @@ def layer_demap_llr(llr_layers: jnp.ndarray, qm: int) -> jnp.ndarray:
 
 
 def apply_precoding(layers: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """[..., nof_layers, n_re] × w[nof_ports, nof_layers] → [..., nof_ports, n_re]."""
-    return jnp.einsum("pl,...lr->...pr", w.astype(layers.dtype), layers)
+    """[..., nof_layers, n_re] × w[nof_ports, nof_layers] → [..., nof_ports, n_re].
+
+    Decomposed into per-(port, layer) scalar·plane products: complex
+    einsum/dot is unsupported on the axon TPU backend, and with ≤4 ports ×
+    ≤4 layers the explicit expansion is the same FLOPs with no MXU need.
+    Host `w` enters as float planes (complex host constants are
+    device-hostile).
+    """
+    w = np.asarray(w, np.complex64)
+    nports, nlayers = w.shape
+    assert layers.shape[-2] == nlayers
+    out = []
+    for p in range(nports):
+        acc = None
+        for l in range(nlayers):
+            if w[p, l] == 0:
+                continue
+            c = jax.lax.complex(jnp.float32(w[p, l].real),
+                                jnp.float32(w[p, l].imag))
+            term = c * layers[..., l, :]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros_like(layers[..., 0, :])
+        out.append(acc)
+    return jnp.stack(out, axis=-2)
 
 
 def identity_precoder(nof_ports: int, nof_layers: int) -> np.ndarray:

@@ -21,6 +21,7 @@ import numpy as np
 from ...ops import dmrs as dmrs_ops
 from ...ops import gold, modulation, sequences, short_block
 from ...ops import equalizer, estimator
+from ...ops.devconst import const_c64
 from ...ran.constants import NRE
 
 
@@ -78,10 +79,10 @@ def pucch_f1_transmit(bits: jnp.ndarray, cfg: PucchF1Config,
         d = modulation.modulate(bits, 1)[..., 0]
     else:
         d = modulation.modulate(bits, 2)[..., 0]
-    data_seqs = jnp.asarray(_f1_symbol_seqs(cfg, cfg.data_symbols))
-    dmrs_seqs = jnp.asarray(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
-    w_d = jnp.asarray(_occ_w(len(cfg.data_symbols), cfg.occ_index))
-    w_m = jnp.asarray(_occ_w(len(cfg.dmrs_symbols), cfg.occ_index))
+    data_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.data_symbols))
+    dmrs_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
+    w_d = const_c64(_occ_w(len(cfg.data_symbols), cfg.occ_index))
+    w_m = const_c64(_occ_w(len(cfg.dmrs_symbols), cfg.occ_index))
     lo = cfg.prb * NRE
     for i, l in enumerate(cfg.data_symbols):
         grid = grid.at[..., l, lo:lo + NRE].set(d * w_d[i] * data_seqs[i])
@@ -104,10 +105,10 @@ def pucch_f1_detect(rx_grid: jnp.ndarray, cfg: PucchF1Config,
     if rx_grid.ndim == 2:
         rx_grid = rx_grid[None]
     lo = cfg.prb * NRE
-    data_seqs = jnp.asarray(_f1_symbol_seqs(cfg, cfg.data_symbols))
-    dmrs_seqs = jnp.asarray(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
-    w_d = jnp.asarray(_occ_w(len(cfg.data_symbols), cfg.occ_index))
-    w_m = jnp.asarray(_occ_w(len(cfg.dmrs_symbols), cfg.occ_index))
+    data_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.data_symbols))
+    dmrs_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
+    w_d = const_c64(_occ_w(len(cfg.data_symbols), cfg.occ_index))
+    w_m = const_c64(_occ_w(len(cfg.dmrs_symbols), cfg.occ_index))
 
     # Despread DM-RS symbols -> channel estimate per rx port.
     y_m = jnp.stack([rx_grid[..., l, lo:lo + NRE]

@@ -330,11 +330,15 @@ def _scramble_modulate_map(codeword: jnp.ndarray, cfg: ShConfig,
                         jnp.zeros(grid.shape[1:], grid.dtype),
                         pilots=base_pilots * occ)
         planes.append(plane)
+    if w is None and nports == cfg.nof_layers:
+        # identity layer→port mapping: the layer planes ARE the port
+        # planes — no precoding product at all
+        return grid + jnp.stack(planes)
     layer_grids = jnp.stack(planes)                      # [L, nsym, nsc]
     if w is None:
-        w = jnp.asarray(precoding.identity_precoder(nports, cfg.nof_layers))
+        w = precoding.identity_precoder(nports, cfg.nof_layers)
     return grid + precoding.apply_precoding(
-        layer_grids.reshape(cfg.nof_layers, -1), w
+        layer_grids.reshape(cfg.nof_layers, -1), np.asarray(w)
     ).reshape(nports, *grid.shape[1:])
 
 

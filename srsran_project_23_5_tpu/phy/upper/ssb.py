@@ -20,6 +20,7 @@ import numpy as np
 
 from ...ops import crc as crc_ops
 from ...ops import gold, modulation
+from ...ops.devconst import const_c64
 from ...ops.polar import code as polar_code
 from ...ops.polar import decoder as polar_decoder
 from ...ops.polar import encoder as polar_encoder
@@ -87,11 +88,13 @@ def _pbch_code() -> polar_code.PolarCode:
     return polar_code.polar_code(PBCH_K, PBCH_E, nmax_log=9)
 
 
+_G_INV = tuple(int(x) for x in np.argsort(np.asarray(_G)))
+
+
 def _payload_interleave(bits: jnp.ndarray) -> jnp.ndarray:
     """a(G(j)) = payload(j): the reference's ordered placement collapses to
-    one static permutation for a pre-assembled 32-bit payload."""
-    out = jnp.zeros_like(bits)
-    return out.at[jnp.asarray(_G)].set(bits)
+    one static permutation (expressed as a gather for the TPU backend)."""
+    return bits[jnp.asarray(_G_INV)]
 
 
 def _payload_deinterleave(bits: jnp.ndarray) -> jnp.ndarray:
@@ -234,14 +237,13 @@ def ssb_assemble(payload: jnp.ndarray, cfg: SsbConfig,
     p2a, p2b = pil[120:132], pil[132:144]
 
     row0 = jnp.zeros((SSB_NSC,), jnp.complex64).at[56:183].set(
-        amplitude * jnp.asarray(pss_sequence(cfg.nid2)).astype(jnp.complex64))
+        amplitude * const_c64(pss_sequence(cfg.nid2)))
     row1 = comb_rows(d1, p1, 60)
     row2 = jnp.zeros((SSB_NSC,), jnp.complex64)
     row2 = row2.at[0:48].set(comb_rows(d2a, p2a, 12))
     row2 = row2.at[192:240].set(comb_rows(d2b, p2b, 12))
     row2 = row2.at[56:183].set(
-        amplitude * jnp.asarray(sss_sequence(cfg.nid1, cfg.nid2)
-                                ).astype(jnp.complex64))
+        amplitude * const_c64(sss_sequence(cfg.nid1, cfg.nid2)))
     row3 = comb_rows(d3, p3, 60)
     return jnp.stack([row0, row1, row2, row3])
 

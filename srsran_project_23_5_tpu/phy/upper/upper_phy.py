@@ -30,6 +30,7 @@ class UpperPhyConfig:
     nof_rx_ports: int = 1
     nof_tx_ports: int = 1
     prach_detection_threshold: float = 16.0
+    nfft: int = 0                 # carrier FFT size (TA chip→sample conv)
 
     @property
     def nsc(self) -> int:
@@ -104,9 +105,22 @@ class UpperPhy:
         for pdu in req.prach_pdus:
             if prach_rx is None:
                 continue
-            metric, delay, _ = prach_ops.detect(
-                prach_rx, pdu.root_sequence_index, pdu.length,
-                pdu.zero_correlation_zone)
+            # scan as many roots as the cell's preamble count needs: the
+            # global preamble index p maps to (root + p // n_shifts,
+            # C_v index p % n_shifts) — prach_detector_generic scans the
+            # whole preamble set the same way
+            ns = prach_ops.num_shifts(pdu.length,
+                                      pdu.zero_correlation_zone)
+            nroots = max(1, -(-pdu.nof_preambles // ns))
+            ms, ds = [], []
+            for ri in range(nroots):
+                metric, delay, _ = prach_ops.detect(
+                    prach_rx, pdu.root_sequence_index + ri, pdu.length,
+                    pdu.zero_correlation_zone)
+                ms.append(metric)
+                ds.append(delay)
+            metric = jnp.concatenate(ms, axis=-1)[..., :pdu.nof_preambles]
+            delay = jnp.concatenate(ds, axis=-1)[..., :pdu.nof_preambles]
             pend_prach.append((pdu, metric, delay))
 
         # ---- single sync point for the whole slot
@@ -126,23 +140,35 @@ class UpperPhy:
                 out.append(fapi.RxDataIndication(
                     req.sfn, req.slot, cfg.rnti, pdu.harq_process,
                     np.asarray(res.tb_bits)))
+            ta = 0.0
+            if res.ta_norm is not None and self.config.nfft:
+                ta = float(res.ta_norm) * self.config.nfft
             out.append(fapi.CrcIndication(
                 req.sfn, req.slot, cfg.rnti, pdu.harq_process, ok,
-                float(res.sinr_db)))
+                float(res.sinr_db), ta_samples=ta))
         for pdu, r1, r2 in pend_pucch:
             if r1 is not None:
                 out.append(fapi.UciIndication(
-                    req.sfn, req.slot, 0, np.asarray(r1.bits), None,
-                    bool(r1.detected), float(r1.detection_metric)))
+                    req.sfn, req.slot, pdu.rnti, np.asarray(r1.bits),
+                    None, bool(r1.detected), float(r1.detection_metric),
+                    harq_pid=pdu.harq_pid, is_sr=pdu.is_sr))
             if r2 is not None:
                 out.append(fapi.UciIndication(
                     req.sfn, req.slot, pdu.format2.rnti, None,
                     np.asarray(r2.uci_bits), bool(r2.detected),
                     float(r2.metric)))
         for pdu, metric, delay in pend_prach:
-            m = np.asarray(metric)[0]
-            d = np.asarray(delay)[0]
-            hits = [(int(i), float(m[i]), float(d[i]))
+            m = np.asarray(metric)
+            d = np.asarray(delay)
+            if m.ndim > 1:          # combine rx ports
+                m = m.mean(axis=0)
+                d = d[0]
+            # delay arrives in ZC-chip units; convert to samples at the
+            # carrier rate for the MAC's TA command (chip = nfft/length
+            # samples for the in-grid short format)
+            scale = (self.config.nfft / pdu.length if self.config.nfft
+                     else 1.0)
+            hits = [(int(i), float(m[i]), float(d[i]) * scale)
                     for i in np.nonzero(
                         m > self.config.prach_detection_threshold)[0]]
             out.append(fapi.RachIndication(req.sfn, req.slot, pdu.occasion,

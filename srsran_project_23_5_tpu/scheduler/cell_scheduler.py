@@ -12,6 +12,7 @@ from collections import deque
 from typing import Optional
 
 from ..ran import mcs_tables, tbs as tbs_mod
+from . import config as cell_cfg
 from .config import CellConfig
 from .harq import HarqState
 from .pdcch_alloc import PdcchSlotAllocator
@@ -81,6 +82,13 @@ class CellScheduler:
         (paging_scheduler.cpp)."""
         self._pending_paging.append(bytes(ue_identity))
 
+    def handle_sr_indication(self, rnti: int) -> None:
+        """Positive SR: the UE has UL data but no grant — seed a minimal
+        buffer estimate so the UL scheduler issues one
+        (ue_scheduling sr handling)."""
+        if rnti in self.ues and self.ues[rnti].ul_buffer_bytes <= 0:
+            self.ues[rnti].ul_buffer_bytes = 16
+
     def handle_csi_report(self, rnti: int, cqi: int) -> None:
         """Wideband CQI → DL link adaptation (csi_report handling in
         lib/scheduler/ue_scheduling/ue_cell.cpp)."""
@@ -88,10 +96,12 @@ class CellScheduler:
             self.ues[rnti].cqi = max(0, min(int(cqi), 15))
 
     def handle_crc_indication(self, rnti: int, harq_pid: int,
-                              ok: bool, sinr_db: float | None = None
-                              ) -> None:
+                              ok: bool, sinr_db: float | None = None,
+                              ta_samples: float | None = None) -> None:
         """PUSCH decode outcome → UL HARQ (+ UL link adaptation from the
-        measured SINR, IIR-smoothed)."""
+        measured SINR, IIR-smoothed; + uplink time-alignment maintenance:
+        a residual PUSCH timing error beyond the threshold queues a TA
+        command CE for the UE's next DL PDU)."""
         ue = self.ues.get(rnti)
         if ue is None:
             return
@@ -99,6 +109,12 @@ class CellScheduler:
             prev = ue.ul_sinr_db
             ue.ul_sinr_db = (sinr_db if prev is None
                              else 0.7 * prev + 0.3 * sinr_db)
+        if ok and ta_samples is not None:
+            ue.ta_samples = 0.5 * ue.ta_samples + 0.5 * ta_samples
+            if (abs(ue.ta_samples) >= self.cfg.ta_cmd_threshold_samples
+                    and ue.pending_ta_cmd is None):
+                ue.pending_ta_cmd = int(round(ue.ta_samples))
+                ue.ta_samples = 0.0
         p = ue.ul_harqs.processes[harq_pid]
         dropped = p.handle_ack(ok)
         if ok:
@@ -134,18 +150,10 @@ class CellScheduler:
 
     # -------------------------------------------------------- TBS helpers
     def _dl_tbs_bytes(self, mcs: int, nof_prb: int) -> tuple[int, int, float]:
-        qm, r = mcs_tables.mcs_to_qm_rate(mcs, self.cfg.mcs_table)
-        bits = tbs_mod.tbs_calculate(self.cfg.pdsch_symbols,
-                                     self.cfg.dl_dmrs_per_prb, 0, r, qm, 1,
-                                     nof_prb)
-        return bits // 8, qm, r
+        return cell_cfg.dl_tbs_bytes(self.cfg, mcs, nof_prb)
 
     def _ul_tbs_bytes(self, mcs: int, nof_prb: int) -> tuple[int, int, float]:
-        qm, r = mcs_tables.mcs_to_qm_rate(mcs, self.cfg.mcs_table)
-        bits = tbs_mod.tbs_calculate(self.cfg.pusch_symbols,
-                                     self.cfg.ul_dmrs_per_prb, 0, r, qm, 1,
-                                     nof_prb)
-        return bits // 8, qm, r
+        return cell_cfg.ul_tbs_bytes(self.cfg, mcs, nof_prb)
 
     def _prbs_for_bytes(self, nof_bytes: int, mcs: int, dl: bool) -> int:
         fn = self._dl_tbs_bytes if dl else self._ul_tbs_bytes
@@ -190,6 +198,20 @@ class CellScheduler:
 
         dl_ok = self.cfg.is_dl_slot(slot)
         ul_ok = self.cfg.is_ul_slot(slot)
+        if ul_ok:
+            # SR opportunities + periodic CSI on PUCCH F2 for connected
+            # UEs (bottom-edge guard PRBs; F1 HARQ resources ride the top
+            # edge — uci_allocator_impl.cpp resource partitioning)
+            for rnti in sorted(self.ues):
+                if cell_cfg.is_sr_slot(self.cfg, rnti, slot):
+                    prb, cs = cell_cfg.sr_resource(self.cfg, rnti)
+                    res.pucch.append(PucchGrant(
+                        rnti, prb, format=1, initial_cyclic_shift=cs,
+                        harq_pid=-1))          # -1 marks an SR resource
+                if cell_cfg.is_csi_report_slot(self.cfg, rnti, slot):
+                    res.pucch.append(PucchGrant(
+                        rnti, 1, format=2,
+                        nof_uci_bits=self.cfg.csi_report_bits))
         dl_alloc = _PrbAllocator(self.cfg.nof_prb)
         used_ul = sum(g.prb_len for g in res.ul_grants)
         ul_alloc = _PrbAllocator(self.cfg.nof_prb, self.cfg.pucch_prbs)
@@ -344,11 +366,11 @@ class CellScheduler:
                 ack_slot = self._next_ul_slot(slot + self.cfg.k1)
                 p.new_retx(ack_slot)
                 qm, r = mcs_tables.mcs_to_qm_rate(p.mcs, self.cfg.mcs_table)
+                pri = self._reserve_pucch(rnti, ack_slot, p.pid)
                 res.dl_grants.append(DlGrant(
                     rnti, p.pid, prbs[0], prbs[1], p.mcs, qm, r,
                     p.tbs_bytes, p.rv, p.ndi, self.cfg.k1, cce_index=cce,
-                    aggregation_level=self._al))
-                self._reserve_pucch(rnti, ack_slot)
+                    aggregation_level=self._al, pucch_pri=pri or 0))
                 continue
             demand = ue.total_dl_buffer()
             if demand == 0 and not ue.pending_conres:
@@ -369,36 +391,35 @@ class CellScheduler:
             tbs, qm, r = self._dl_tbs_bytes(mcs, prbs[1])
             ack_slot = self._next_ul_slot(slot + self.cfg.k1)
             p.new_tx(tbs, mcs, prbs, ack_slot)
+            pri = self._reserve_pucch(rnti, ack_slot, p.pid)
             res.dl_grants.append(DlGrant(
                 rnti, p.pid, prbs[0], prbs[1], mcs, qm, r, tbs, 0, p.ndi,
                 self.cfg.k1, is_conres=ue.pending_conres, cce_index=cce,
-                aggregation_level=self._al))
+                aggregation_level=self._al, pucch_pri=pri or 0))
             ue.dl_bytes += tbs
-            self._reserve_pucch(rnti, ack_slot)
 
     #: F1 initial cyclic shifts multiplexed in one PRB (orthogonal at
     #: CS spacing 3; reference pucch_resource_manager cell resource list)
     _PUCCH_F1_SHIFTS = (0, 3, 6, 9)
 
-    def _reserve_pucch(self, rnti: int, ack_slot: int) -> Optional[int]:
-        """Collision-free PUCCH F1 resource: the guardband PRBs at BOTH
-        band edges × 4 cyclic shifts; returns the resource index or None
-        when the slot's PUCCH capacity is exhausted (the caller's grant
-        then still stands — HARQ falls back to retransmission on DTX —
-        but no two UEs ever share (prb, cs))."""
+    def pucch_f1_resource(self, idx: int) -> tuple[int, int]:
+        return cell_cfg.pucch_f1_resource(self.cfg, idx)
+
+    def _reserve_pucch(self, rnti: int, ack_slot: int,
+                       harq_pid: int = 0) -> Optional[int]:
+        """Collision-free PUCCH F1 resource; returns the resource index
+        (the DCI's PRI) or None when the slot's PUCCH capacity is
+        exhausted (the caller's grant then still stands — HARQ falls back
+        to retransmission on DTX — but no two UEs ever share (prb, cs))."""
         lst = self._pending_pucch.setdefault(ack_slot, [])
         npkt = max(1, self.cfg.pucch_prbs)
-        # both edges: PRBs [0, npkt) and [nof_prb-npkt, nof_prb)
-        prbs = list(range(npkt)) + \
-            list(range(self.cfg.nof_prb - npkt, self.cfg.nof_prb))
-        capacity = len(prbs) * len(self._PUCCH_F1_SHIFTS)
-        idx = len(lst)
+        capacity = npkt * len(self._PUCCH_F1_SHIFTS)
+        idx = len([p for p in lst if p.format == 1])
         if idx >= capacity:
             return None
-        prb = prbs[idx // len(self._PUCCH_F1_SHIFTS)]
-        cs = self._PUCCH_F1_SHIFTS[idx % len(self._PUCCH_F1_SHIFTS)]
+        prb, cs = self.pucch_f1_resource(idx)
         lst.append(PucchGrant(rnti, prb, format=1,
-                              initial_cyclic_shift=cs))
+                              initial_cyclic_shift=cs, harq_pid=harq_pid))
         return idx
 
     # ------------------------------------------------------------- UE UL
@@ -408,7 +429,14 @@ class CellScheduler:
             return
         pusch_slot = self._next_ul_slot(slot + self.cfg.k2)
         pending = self._pending_ul.setdefault(pusch_slot, [])
-        alloc = _PrbAllocator(self.cfg.nof_prb, self.cfg.pucch_prbs)
+        # PRACH-occasion slots carve the 139-subcarrier region out of the
+        # PUSCH space (prach_scheduler reserved RBs in the reference)
+        width = (self.cfg.prach_prb_start
+                 if self.cfg.is_prach_slot(pusch_slot)
+                 else self.cfg.nof_prb)
+        alloc = _PrbAllocator(width, self.cfg.pucch_prbs)
+        alloc.limit = width - (0 if self.cfg.is_prach_slot(pusch_slot)
+                               else self.cfg.pucch_prbs)
         alloc.next_free += sum(g.prb_len for g in pending)
         order = rntis[self._rr_ul % len(rntis):] + \
             rntis[: self._rr_ul % len(rntis)]

@@ -1,9 +1,14 @@
 """Cell configuration for the scheduler (reference
-lib/scheduler/cell/cell_configuration.h, du_cell_config)."""
+lib/scheduler/cell/cell_configuration.h, du_cell_config) plus the
+cell-derived formulas (TBS, slot patterns, PUCCH resource list) that the
+gNB scheduler AND the UE derive independently from the same broadcast
+configuration — the UE never reads gNB-internal state."""
 from __future__ import annotations
 
 import dataclasses
 from typing import Optional
+
+from ..ran import mcs_tables, tbs as tbs_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +64,18 @@ class CellConfig:
     csi_rs_period_slots: int = 20
     csi_rs_slot_offset: int = 1
     csi_rs_symbol: int = 5
+    # SR opportunities + periodic CSI on PUCCH F2
+    # (uci_allocator_impl.cpp / pucch_resource_manager)
+    sr_period_slots: int = 16
+    csi_report_period_slots: int = 40
+    csi_report_slot_offset: int = 7
+    csi_report_bits: int = 4             # wideband CQI
+    # TA command CE threshold (samples of residual PUSCH timing error)
+    ta_cmd_threshold_samples: float = 2.0
+    # in-grid short PRACH occasion geometry (139 subcarriers)
+    prach_root_sequence: int = 22
+    prach_zero_correlation_zone: int = 13
+    prach_nof_preambles: int = 64
     # paging occasions (common_scheduling/paging_scheduler.cpp)
     paging_period_slots: int = 32
     paging_slot_offset: int = 3
@@ -80,3 +97,64 @@ class CellConfig:
 
     def is_ul_slot(self, slot: int) -> bool:
         return self.tdd is None or self.tdd.is_ul(slot % self.slots_per_frame)
+
+    def is_prach_slot(self, slot: int) -> bool:
+        return (self.is_ul_slot(slot) and slot % self.prach_period_slots
+                == self.prach_slot_offset % self.prach_period_slots)
+
+    @property
+    def prach_prb_start(self) -> int:
+        """First PRB of the 139-subcarrier in-grid PRACH region (below
+        the top-edge PUCCH guard)."""
+        return self.nof_prb - self.pucch_prbs - 12
+
+
+# ---------------------------------------------------------------- shared
+PUCCH_F1_SHIFTS = (0, 3, 6, 9)
+
+
+def dl_tbs_bytes(cell: "CellConfig", mcs: int, nof_prb: int
+                 ) -> tuple[int, int, float]:
+    qm, r = mcs_tables.mcs_to_qm_rate(mcs, cell.mcs_table)
+    bits = tbs_mod.tbs_calculate(cell.pdsch_symbols, cell.dl_dmrs_per_prb,
+                                 0, r, qm, 1, nof_prb)
+    return bits // 8, qm, r
+
+
+def ul_tbs_bytes(cell: "CellConfig", mcs: int, nof_prb: int
+                 ) -> tuple[int, int, float]:
+    qm, r = mcs_tables.mcs_to_qm_rate(mcs, cell.mcs_table)
+    bits = tbs_mod.tbs_calculate(cell.pusch_symbols, cell.ul_dmrs_per_prb,
+                                 0, r, qm, 1, nof_prb)
+    return bits // 8, qm, r
+
+
+def next_ul_slot(cell: "CellConfig", slot: int) -> int:
+    s = slot
+    while not cell.is_ul_slot(s):
+        s += 1
+    return s
+
+
+def pucch_f1_resource(cell: "CellConfig", idx: int) -> tuple[int, int]:
+    """PRI → (prb, initial_cyclic_shift): static F1 resource list on the
+    TOP-edge guard PRBs (bottom edge hosts SR/CSI)."""
+    npkt = max(1, cell.pucch_prbs)
+    prbs = list(range(cell.nof_prb - npkt, cell.nof_prb))
+    return (prbs[(idx // len(PUCCH_F1_SHIFTS)) % npkt],
+            PUCCH_F1_SHIFTS[idx % len(PUCCH_F1_SHIFTS)])
+
+
+def sr_resource(cell: "CellConfig", rnti: int) -> tuple[int, int]:
+    """SR opportunity resource: bottom-edge PRB 0, CS by RNTI."""
+    return 0, PUCCH_F1_SHIFTS[rnti % len(PUCCH_F1_SHIFTS)]
+
+
+def is_sr_slot(cell: "CellConfig", rnti: int, slot: int) -> bool:
+    return cell.is_ul_slot(slot) and (slot + rnti) % cell.sr_period_slots == 0
+
+
+def is_csi_report_slot(cell: "CellConfig", rnti: int, slot: int) -> bool:
+    return (cell.is_ul_slot(slot)
+            and (slot + rnti) % cell.csi_report_period_slots
+            == cell.csi_report_slot_offset)

@@ -47,11 +47,14 @@ class Dci:
     ndi: int = 0
     rv: int = 0
     harq_pid: int = 0
+    # PUCCH resource indicator (DCI 1_0 PRI): selects the cell's F1
+    # resource carrying this grant's HARQ-ACK (uci_allocator_impl.cpp)
+    pri: int = 0
 
 
 def dci_size(n_bwp: int) -> int:
-    # 1 format + RIV + 4 TD + 5 MCS + 1 NDI + 2 RV + 4 HARQ
-    return 1 + riv_bits(n_bwp) + 4 + 5 + 1 + 2 + 4
+    # 1 format + RIV + 4 TD + 5 MCS + 1 NDI + 2 RV + 4 HARQ + 3 PRI
+    return 1 + riv_bits(n_bwp) + 4 + 5 + 1 + 2 + 4 + 3
 
 
 def pack(d: Dci, n_bwp: int) -> np.ndarray:
@@ -59,7 +62,7 @@ def pack(d: Dci, n_bwp: int) -> np.ndarray:
         (int(d.is_dl), 1),
         (riv_encode(d.prb_start, d.prb_len, n_bwp), riv_bits(n_bwp)),
         (d.time_domain, 4), (d.mcs, 5), (d.ndi & 1, 1), (d.rv, 2),
-        (d.harq_pid, 4),
+        (d.harq_pid, 4), (d.pri, 3),
     ]
     out = []
     for value, width in fields:
@@ -87,5 +90,7 @@ def unpack(bits: np.ndarray, n_bwp: int) -> Dci:
     ndi = take(1)
     rv = take(2)
     harq = take(4)
+    pri = take(3)
     return Dci(is_dl=is_dl, prb_start=prb_start, prb_len=prb_len,
-               time_domain=td, mcs=mcs, ndi=ndi, rv=rv, harq_pid=harq)
+               time_domain=td, mcs=mcs, ndi=ndi, rv=rv, harq_pid=harq,
+               pri=pri)

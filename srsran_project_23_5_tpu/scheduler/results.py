@@ -26,6 +26,9 @@ class DlGrant:
     # PDCCH resources carrying this grant's DCI (CCE-allocated per slot)
     cce_index: int = 0
     aggregation_level: int = 4
+    # PUCCH resource indicator signalled in the DCI: index into the
+    # cell's F1 resource list for this grant's HARQ-ACK
+    pucch_pri: int = 0
 
 
 @dataclasses.dataclass
@@ -52,6 +55,9 @@ class PucchGrant:
     format: int                   # 1 = HARQ-ACK, 2 = CSI/UCI
     nof_harq_bits: int = 1
     initial_cyclic_shift: int = 0  # F1 CS multiplexing within one PRB
+    harq_pid: int = 0             # DL HARQ process this ACK closes
+    # F2 periodic-CSI resources carry no HARQ (format == 2)
+    nof_uci_bits: int = 0
 
 
 @dataclasses.dataclass

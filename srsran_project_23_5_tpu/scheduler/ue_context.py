@@ -20,6 +20,10 @@ class UeContext:
     # link adaptation state (reference ue_link_adaptation_controller)
     cqi: int = 0                          # last wideband CQI (0 = none)
     ul_sinr_db: float | None = None       # smoothed PUSCH SINR
+    # timing advance maintenance (uplink time alignment,
+    # port_channel_estimator TA -> MAC TA command CE)
+    ta_samples: float = 0.0               # smoothed PUSCH TA estimate
+    pending_ta_cmd: int | None = None     # sample delta to send as TA CE
     # metrics (scheduler_ue_metrics surface)
     dl_bytes: int = 0
     ul_bytes: int = 0

@@ -21,6 +21,11 @@ class UeEmulator:
         self.timers = timers or TimerManager()
         self.preamble = preamble
         self.rnti: Optional[int] = None
+        # uplink time alignment (samples at the carrier rate): set from
+        # the RAR TA, maintained by TA command CEs
+        self.timing_advance_samples: float = 0.0
+        self.last_cqi: int = 0           # CSI-RS measurement for PUCCH F2
+        self.nof_sib1_decoded = 0
         self.conres_ok = False
         self.ip_rx: list[bytes] = []           # DL user-plane deliveries
         self._ul_ip_q: list[bytes] = []
@@ -131,6 +136,9 @@ class UeEmulator:
         for sp in mac_pdu.decode_pdu(wire):
             if sp.lcid == mac_pdu.LCID_DL_CON_RES:
                 self.conres_ok = True
+            elif sp.lcid == mac_pdu.LCID_DL_TA_CMD:
+                self.timing_advance_samples += mac_pdu.parse_ta_cmd(
+                    sp.payload)
             elif sp.lcid == 1:
                 self.srb1.handle_pdu(sp.payload)
             elif sp.lcid in self.drb_rlc:

