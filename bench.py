@@ -44,12 +44,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-# The jax persistent compilation cache (FFTW-wisdom analogue) is opt-in
-# only: cross-process cache reads segfault on this jax build (observed in
-# full-suite runs; crash in compilation_cache.get_executable_and_time).
-_cache = os.environ.get("TPU_RAN_JAX_CACHE")
-if _cache:
-    jax.config.update("jax_compilation_cache_dir", _cache)
+# Persistent compilation cache (the FFTW-wisdom analogue, SURVEY §5.4).
+# r2/r3 disabled it because cross-process reads segfaulted the then-current
+# jax; re-validated working on jax 0.9.0 (tools-era probe: 23.3 s cold →
+# 6.7 s warm across processes).  Opt out with TPU_RAN_JAX_CACHE=off.
+_cache = os.environ.get("TPU_RAN_JAX_CACHE", "")
+if _cache.lower() not in ("off", "0", "no"):
+    jax.config.update("jax_compilation_cache_dir",
+                      _cache or os.path.join(
+                          os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

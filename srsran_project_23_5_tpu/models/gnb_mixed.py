@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import cplx
 from ..ops import prach as prach_ops
 from ..phy.lower import ofdm
 from ..phy.upper import csi_rs as csi_rs_proc
@@ -205,17 +206,39 @@ def _pdcch_check(rx_grid: jnp.ndarray, tx_grid: jnp.ndarray,
     nregs = cfg.aggregation_level * 6
     lo = (cfg.coreset_start_prb + cfg.cce_index * 6) * NRE
     l = cfg.start_symbol
-    rx = rx_grid[:, l, lo:lo + nregs * NRE].reshape(-1, nregs * 3, 4)
-    tx = tx_grid[l, lo:lo + nregs * NRE].reshape(nregs * 3, 4)
-    y_m, x_m = rx[..., 1], tx[..., 1]
+    rx = rx_grid[:, l, lo:lo + nregs * NRE]
+    tx = tx_grid[l, lo:lo + nregs * NRE]
+    # quad-column picks on float planes (complex odd strides are
+    # unimplemented on the TPU backend, ops/cplx.py)
+    y_m, x_m = cplx.cstride(rx, 1, 4), cplx.cstride(tx, 1, 4)
     h = jnp.mean(y_m * jnp.conj(x_m), axis=-1)       # [nrx]
-    y_d = jnp.concatenate([rx[..., 0], rx[..., 2], rx[..., 3]], axis=-1)
-    x_d = jnp.concatenate([tx[..., 0], tx[..., 2], tx[..., 3]], axis=-1)
+    y_d = jnp.concatenate([cplx.cstride(rx, 0, 4), cplx.cstride(rx, 2, 4),
+                           cplx.cstride(rx, 3, 4)], axis=-1)
+    x_d = jnp.concatenate([cplx.cstride(tx, 0, 4), cplx.cstride(tx, 2, 4),
+                           cplx.cstride(tx, 3, 4)], axis=-1)
     d_hat = (jnp.sum(jnp.conj(h)[:, None] * y_d, axis=0)
              / jnp.maximum(jnp.sum(jnp.abs(h) ** 2), 1e-12))
     match = ((jnp.sign(d_hat.real) == jnp.sign(x_d.real))
              & (jnp.sign(d_hat.imag) == jnp.sign(x_d.imag)))
     return jnp.mean(match.astype(jnp.float32))
+
+
+def hard_match_gate(qm: int, snr_db: float) -> float:
+    """Verification gate for the UE-side hard-bit symbol check.
+
+    At the operating point, UNCODED hard decisions have a nonzero BER —
+    that is what the LDPC code absorbs (e.g. 64QAM at 20 dB: ~1.3e-2).
+    The gate sits 4σ-ish below the expected match fraction, far above the
+    ~0.5 a broken TX/equalizer chain would produce.
+    """
+    import math
+
+    snr = 10 ** (snr_db / 10)
+    half_d = {2: 1 / np.sqrt(2), 4: 1 / np.sqrt(10),
+              6: 1 / np.sqrt(42), 8: 1 / np.sqrt(170)}[qm]
+    # per-axis nearest-boundary error; Gray weighting < 1 bit flip/err
+    ber = 0.5 * math.erfc(half_d * np.sqrt(snr))
+    return max(0.9, 1.0 - 4.0 * ber - 0.005)
 
 
 @dataclasses.dataclass
@@ -285,8 +308,14 @@ def mixed_slot(payloads: dict, key: jnp.ndarray,
         dl0_ok = r0.tb_crc_ok & jnp.all(r0.tb_bits == payloads["tb_dl0"])
         dl1_ok = r1.tb_crc_ok & jnp.all(r1.tb_bits == payloads["tb_dl1"])
     else:
-        dl0_ok = dl0_match > 0.999
-        dl1_ok = dl1_match > 0.999
+        # pre-decode verification: hard-bit match above the QM-aware gate
+        # (uncoded hard decisions err at the operating point — that is
+        # the LDPC code's job) + post-eq EVM at the noise floor
+        evm_gate = 1.5 * 10 ** (-cfg.snr_db / 20)
+        dl0_ok = ((dl0_match > hard_match_gate(cfg.pdsch0.qm, cfg.snr_db))
+                  & (d0.evm < evm_gate))
+        dl1_ok = ((dl1_match > hard_match_gate(cfg.pdsch1.qm, cfg.snr_db))
+                  & (d1.evm < evm_gate))
     sinr_dl0 = 10.0 * jnp.log10(
         jnp.maximum(1.0 / jnp.maximum(d0.post_noise_var, 1e-12), 1e-12))
 
@@ -307,10 +336,11 @@ def mixed_slot(payloads: dict, key: jnp.ndarray,
     # CSI-RS: UE measurement → CSI SINR estimate (per-PRB column view)
     cr = cfg.csi_rs
     clo = cr.prb_start * NRE
-    y_csi = ue_grid[:, cr.symbol, clo:clo + cr.nof_prb * NRE].reshape(
-        -1, cr.nof_prb, NRE)[..., cr.subcarrier_offset]
-    x_csi = g2d[cr.symbol, clo:clo + cr.nof_prb * NRE].reshape(
-        cr.nof_prb, NRE)[..., cr.subcarrier_offset]
+    y_csi = cplx.cstride(
+        ue_grid[:, cr.symbol, clo:clo + cr.nof_prb * NRE],
+        cr.subcarrier_offset, NRE)
+    x_csi = cplx.cstride(g2d[cr.symbol, clo:clo + cr.nof_prb * NRE],
+                         cr.subcarrier_offset, NRE)
     h_csi = jnp.mean(y_csi * jnp.conj(x_csi), axis=-1)
     resid = y_csi - h_csi[:, None] * x_csi[None]
     csi_sinr = (jnp.sum(jnp.abs(h_csi) ** 2)

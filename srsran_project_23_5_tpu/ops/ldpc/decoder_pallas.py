@@ -7,22 +7,31 @@ ENTIRE layered schedule — all layers × iterations — inside one Pallas
 program with the a-posteriori LLRs and check-to-variable messages resident
 in VMEM, compiling to straight VPU vector code with no per-op overhead.
 
-Memory layout (per grid step, batch tile of 8 codeblocks):
-  app  : [8, N*Z]  f32 VMEM scratch — variable-node LLRs, blocks at Z-strides
-  c2v  : [8, E*Z]  f32 VMEM scratch — per-edge check-to-variable messages
-  tbuf : [8, d_max*Z] f32 — variable-to-check messages of the active layer
-For Zc = 384 every block slice is 3×128 lanes, perfectly tiled; smaller
-lifting sizes still work via Mosaic's masked lane handling.
+Memory layout (per grid step, batch tile of B_TILE codeblocks):
+  app  : [B, N*Z]  bfloat16 VMEM scratch — variable-node LLRs
+  c2v  : [B, E*Z]  bfloat16 VMEM scratch — per-edge check-to-variable msgs
+  tbuf : [B, d_max*Z] f32 — variable-to-check messages of the active layer
+LLR state is STORED in bfloat16 (the TPU's native half-density dtype —
+the analogue of the reference's int8 LLR domain, avx2_support.h:36-78:
+half the VMEM of r3's float32 storage with the same exponent range, so no
+saturation logic is needed) and COMPUTED in float32 per layer.  Min-sum
+messages carry ≤8 significant bits in the reference; bfloat16's 8-bit
+mantissa loses nothing.
 
-min2 selection uses the |t|==m1 equality trick (ties ⇒ m1==m2) instead of
-an argmin index, keeping everything elementwise.  The syndrome is computed
-in-kernel after the final iteration (sign-product per check row).
+Early termination (ldpc_decoder_impl.cpp:116-134):
+- the syndrome is evaluated every `check_period` iterations (default 2) —
+  at operating SNR decodes converge in 2-4 iterations, below the cliff
+  the syndrome never passes, so per-iteration checks are wasted work;
+- convergence is tracked PER CODEBLOCK: a converged CB's app/c2v state
+  freezes (masked writes) so later iterations for a stubborn neighbour
+  cannot perturb it, and the tile exits once every CB has converged.
 
 Reference counterpart: ldpc_decoder_impl.cpp:116-134 + AVX512 node kernels.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .graphs import lifted_graph
 
-B_TILE = 8
+B_TILE = int(os.environ.get("TPU_RAN_DEC_BTILE", "8"))
 _BIG = 3.0e38
+STORE = (jnp.float32 if os.environ.get("TPU_RAN_DEC_STORE") == "f32"
+         else jnp.bfloat16)
+_FREEZE = os.environ.get("TPU_RAN_DEC_FREEZE", "1") != "0"
 
 
 def _layers(graph):
@@ -45,7 +57,7 @@ def _layers(graph):
 
 
 def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float,
-                 early_termination: bool = True):
+                 early_termination: bool = True, check_period: int = 2):
     graph = lifted_graph(base_graph, z)
     n = graph.nof_var_blocks
     k = graph.nof_msg_blocks
@@ -53,30 +65,31 @@ def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float,
     d_max = max(len(c) for _, c, _ in layers)
 
     def blk(ref, i):
-        return ref[:, i * z:(i + 1) * z]
+        return ref[:, i * z:(i + 1) * z].astype(jnp.float32)
 
     def rot(x, s):
         # Mosaic rejects zero-length slices from roll-by-0.
         return jnp.roll(x, -(s % z), axis=1) if s % z else x
 
     def kernel(llr_ref, bits_ref, ok_ref, app, c2v, tbuf):
-        app[:] = llr_ref[:]
+        app[:] = llr_ref[:].astype(STORE)
         c2v[:] = jnp.zeros_like(c2v)
 
-        def syndrome_ok():
-            """1.0 iff every check row of every CB in the tile is satisfied
-            (in-kernel analogue of the reference's per-iteration CRC early
-            stop, ldpc_decoder_impl.cpp:126-133)."""
-            allmin = jnp.float32(1.0)
+        def row_syndrome():
+            """[B_TILE, 1] > 0 iff every check row of that CB passes."""
+            okrow = jnp.full((B_TILE, 1), 1.0, jnp.float32)
             for e0, cols, shifts in layers:
                 rowsgn = jnp.ones((B_TILE, z), jnp.float32)
                 for c, s in zip(cols, shifts):
                     v = rot(blk(app, c), s)
                     rowsgn = rowsgn * jnp.where(v <= 0.0, -1.0, 1.0)
-                allmin = jnp.minimum(allmin, jnp.min(rowsgn))
-            return allmin
+                okrow = jnp.minimum(okrow,
+                                    jnp.min(rowsgn, axis=1, keepdims=True))
+            return okrow
 
-        def update_layers():
+        def update_layers(frozen):
+            """One layered sweep; rows with frozen > 0 keep their state
+            (per-CB convergence freezing)."""
             for e0, cols, shifts in layers:
                 m1 = jnp.full((B_TILE, z), _BIG, jnp.float32)
                 m2 = jnp.full((B_TILE, z), _BIG, jnp.float32)
@@ -94,52 +107,61 @@ def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float,
                     a = jnp.abs(t)
                     sgn = jnp.where(t < 0.0, -1.0, 1.0)
                     msg = scale * sgnprod * sgn * jnp.where(a == m1, m2, m1)
-                    c2v[:, (e0 + i) * z:(e0 + i + 1) * z] = msg
-                    app[:, c * z:(c + 1) * z] = rot(t + msg, z - s)
-
-        def body(carry):
-            it, _ = carry
-            update_layers()
-            # early termination: stop iterating once the whole tile's
-            # syndrome is clean (typical-case latency lever; high-SNR
-            # decodes converge in 2-3 of the max iterations)
-            notdone = jnp.where(syndrome_ok() > 0.0, jnp.int32(0),
-                                jnp.int32(1))
-            return it + 1, notdone
+                    if _FREEZE:
+                        hold = frozen > 0.0
+                        old_msg = blk(c2v, e0 + i)
+                        old_app = blk(app, c)
+                        c2v[:, (e0 + i) * z:(e0 + i + 1) * z] = jnp.where(
+                            hold, old_msg, msg).astype(STORE)
+                        app[:, c * z:(c + 1) * z] = jnp.where(
+                            hold, old_app,
+                            rot(t + msg, z - s)).astype(STORE)
+                    else:
+                        c2v[:, (e0 + i) * z:(e0 + i + 1) * z] = \
+                            msg.astype(STORE)
+                        app[:, c * z:(c + 1) * z] = rot(
+                            t + msg, z - s).astype(STORE)
 
         if early_termination:
+            def body(carry):
+                it, done = carry
+                update_layers(done)
+                do_check = (it % check_period) == (check_period - 1)
+                done = jax.lax.cond(
+                    do_check,
+                    lambda d: jnp.maximum(
+                        d, (row_syndrome() > 0.0).astype(jnp.float32)),
+                    lambda d: d, done)
+                return it + 1, done
+
             jax.lax.while_loop(
-                lambda c: (c[0] < nof_iterations) & (c[1] > 0),
-                body, (jnp.int32(0), jnp.int32(1)))
+                lambda c: (c[0] < nof_iterations)
+                & (jnp.min(c[1]) < 0.5),
+                body,
+                (jnp.int32(0), jnp.zeros((B_TILE, 1), jnp.float32)))
         else:
             def fixed_body(_, carry):
-                update_layers()
+                update_layers(jnp.zeros((B_TILE, 1), jnp.float32))
                 return carry
             jax.lax.fori_loop(0, nof_iterations, fixed_body, 0)
 
-        # Hard decisions + syndrome (sign-domain: row product of signs must
-        # be positive on every lane of every check row).
-        ok = jnp.ones((B_TILE, 128), jnp.float32)
-        for e0, cols, shifts in layers:
-            rowsgn = jnp.ones((B_TILE, z), jnp.float32)
-            for c, s in zip(cols, shifts):
-                v = rot(blk(app, c), s)
-                rowsgn = rowsgn * jnp.where(v <= 0.0, -1.0, 1.0)
-            # row satisfied iff every lane positive
-            row_ok = jnp.min(rowsgn, axis=1, keepdims=True)  # [B, 1]
-            ok = ok * jnp.broadcast_to(row_ok, (B_TILE, 128))
-        ok_ref[:] = (ok > 0.0).astype(jnp.int32)
-        bits_ref[:] = (app[:, :k * z] <= 0.0).astype(jnp.int8)
+        # Hard decisions + final per-CB syndrome.
+        okrow = row_syndrome()                           # [B, 1]
+        ok = jnp.broadcast_to(okrow > 0.0, (B_TILE, 128))
+        ok_ref[:] = ok.astype(jnp.int32)
+        bits_ref[:] = (app[:, :k * z].astype(jnp.float32)
+                       <= 0.0).astype(jnp.int8)
 
     return kernel, n, k, n_edges, d_max
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def _decode_tiles(llr: jnp.ndarray, base_graph: int, z: int,
                   nof_iterations: int, scale: float, interpret: bool,
-                  early_termination: bool = True):
+                  early_termination: bool = True, check_period: int = 2):
     kernel, n, k, n_edges, d_max = _make_kernel(
-        base_graph, z, nof_iterations, scale, early_termination)
+        base_graph, z, nof_iterations, scale, early_termination,
+        check_period)
     bp = llr.shape[0]
     assert bp % B_TILE == 0
     grid = (bp // B_TILE,)
@@ -159,8 +181,8 @@ def _decode_tiles(llr: jnp.ndarray, base_graph: int, z: int,
             jax.ShapeDtypeStruct((bp, 128), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B_TILE, n * z), jnp.float32),
-            pltpu.VMEM((B_TILE, n_edges * z), jnp.float32),
+            pltpu.VMEM((B_TILE, n * z), STORE),
+            pltpu.VMEM((B_TILE, n_edges * z), STORE),
             pltpu.VMEM((B_TILE, d_max * z), jnp.float32),
         ],
         interpret=interpret,
@@ -171,7 +193,8 @@ def _decode_tiles(llr: jnp.ndarray, base_graph: int, z: int,
 def decode(llr: jnp.ndarray, base_graph: int, lifting_size: int,
            nof_iterations: int = 6, scale: float = 0.8,
            interpret: bool = False,
-           early_termination: bool = True
+           early_termination: bool = True,
+           check_period: int = 2
            ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-kernel decode; same contract as decoder.decode.
 
@@ -187,5 +210,5 @@ def decode(llr: jnp.ndarray, base_graph: int, lifting_size: int,
             axis=0)
     bits, ok = _decode_tiles(llr.astype(jnp.float32), base_graph,
                              lifting_size, nof_iterations, float(scale),
-                             interpret, early_termination)
+                             interpret, early_termination, check_period)
     return bits[:b], ok[:b]

@@ -14,11 +14,16 @@ import numpy as np
 
 def layer_map(symbols: jnp.ndarray, nof_layers: int) -> jnp.ndarray:
     """Codeword symbols [..., M] → layers [..., nof_layers, M/nof_layers]
-    (TS 38.211 Table 7.3.1.3-1, single codeword up to 4 layers)."""
-    *lead, m = symbols.shape
+    (TS 38.211 Table 7.3.1.3-1, single codeword up to 4 layers).
+    Float-plane strided split: complex transposes are unimplemented on
+    the TPU backend (ops/cplx.py)."""
+    m = symbols.shape[-1]
     assert m % nof_layers == 0
-    return (symbols.reshape(*lead, m // nof_layers, nof_layers)
-            .swapaxes(-1, -2))
+    if jnp.iscomplexobj(symbols):
+        from . import cplx
+        return cplx.clayer_split(symbols, nof_layers)
+    return (symbols.reshape(*symbols.shape[:-1], m // nof_layers,
+                            nof_layers).swapaxes(-1, -2))
 
 
 def layer_demap(layers: jnp.ndarray) -> jnp.ndarray:

@@ -11,7 +11,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops import gold
+from ...ops import cplx, gold
 from ...ran.constants import NRE
 
 
@@ -61,6 +61,8 @@ def generate(cfg: CsiRsConfig, grid: jnp.ndarray) -> jnp.ndarray:
     seg = grid[..., cfg.symbol, lo:lo + cfg.nof_prb * NRE]
     blk = seg.reshape(*seg.shape[:-1], cfg.nof_prb, NRE)
     for i, off in enumerate(offs):
-        blk = blk.at[..., int(off)].set(pil[i::seq_per_prb])
+        blk = cplx.cset_col(blk, int(off),
+                            cplx.cstride(pil, i, seq_per_prb)
+                            if seq_per_prb > 1 else pil)
     return grid.at[..., cfg.symbol, lo:lo + cfg.nof_prb * NRE].set(
         blk.reshape(*seg.shape))

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops import cplx
 from ...ops import dmrs as dmrs_ops
 from ...ops import gold, modulation
 from ...ops.polar import code as polar_code
@@ -151,10 +152,10 @@ def pdcch_transmit(payload: jnp.ndarray, cfg: PdcchConfig,
         lo = first_prb * NRE
         l = cfg.start_symbol
         pil = _pdcch_dmrs(cfg, l, first_prb, nregs * 3)
-        quads = jnp.stack(
-            [syms[0::3], pil, syms[1::3], syms[2::3]], axis=-1)
-        return grid.at[..., l, lo:lo + nregs * NRE].set(
-            quads.reshape(-1))
+        row = cplx.cinterleave([cplx.cstride(syms, 0, 3), pil,
+                                cplx.cstride(syms, 1, 3),
+                                cplx.cstride(syms, 2, 3)])
+        return grid.at[..., l, lo:lo + nregs * NRE].set(row)
     dsym, dsc, msym, msc = cfg.re_indices
     grid = grid.at[..., jnp.asarray(dsym), jnp.asarray(dsc)].set(syms)
     # DM-RS: Gold-QPSK pilots per symbol, sequence indexed by absolute PRB

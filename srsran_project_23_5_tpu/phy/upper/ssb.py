@@ -20,6 +20,7 @@ import numpy as np
 
 from ...ops import crc as crc_ops
 from ...ops import gold, modulation
+from ...ops import cplx
 from ...ops.devconst import const_c64
 from ...ops.polar import code as polar_code
 from ...ops.polar import decoder as polar_decoder
@@ -222,12 +223,15 @@ def ssb_assemble(payload: jnp.ndarray, cfg: SsbConfig,
     dcols = [j for j in range(4) if j != v]
 
     def comb_rows(data_chunk, pil_chunk, nquad):
-        """[nquad, 4] quads: col v = pilots, other cols = data in order."""
+        """[nquad, 4] quads: col v = pilots, other cols = data in order
+        (float-plane layout: odd-stride complex ops are unimplemented on
+        the TPU backend, ops/cplx.py)."""
         cols = [None] * 4
         cols[v] = pil_chunk
         for i, j in enumerate(dcols):
-            cols[j] = data_chunk[i::3]
-        return jnp.stack(cols, axis=-1).reshape(nquad * 4)
+            cols[j] = cplx.cstride(data_chunk, i, 3)
+        del nquad
+        return cplx.cinterleave(cols)
 
     # data order: sym1 (180), sym2 lo (36), sym2 hi (36), sym3 (180)
     # pilot order: sym1/sym3 interleaved per sc (120), sym2 lo+hi (24)

@@ -28,14 +28,14 @@ except (ValueError, OSError):
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NOTE: the jax persistent compilation cache is deliberately NOT enabled:
-# on this jax build, deserializing cache entries written by another
-# process segfaults the interpreter (observed twice in full-suite runs,
-# crash inside compilation_cache.get_executable_and_time).  Re-compiling
-# is slower but safe; opt in via TPU_RAN_JAX_CACHE=<dir> at your own risk.
-_cache = os.environ.get("TPU_RAN_JAX_CACHE")
-if _cache:
-    jax.config.update("jax_compilation_cache_dir", _cache)
+# Persistent compilation cache: the r2-era cross-process segfault is gone
+# on jax 0.9.0 (re-validated); caching cuts suite re-compiles sharply.
+# Opt out with TPU_RAN_JAX_CACHE=off.
+_cache = os.environ.get("TPU_RAN_JAX_CACHE", "")
+if _cache.lower() not in ("off", "0", "no"):
+    jax.config.update("jax_compilation_cache_dir",
+                      _cache or os.path.join(os.path.dirname(__file__),
+                                             "..", ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -56,7 +56,11 @@ def _run(step, cfg, snr_db, seed):
 
 
 # (qm, rate, empirical cliff SNR in dB — characterized 2026-08, r3)
-MCS_CLIFFS = [(2, 0.3, 0.5), (4, 0.5, 8.0), (6, 0.65, 15.5)]
+# 64QAM (the bench operating point) runs in the default tier; the other
+# MCS cliffs ride the slow tier.
+MCS_CLIFFS = [pytest.param(2, 0.3, 0.5, marks=pytest.mark.slow),
+              pytest.param(4, 0.5, 8.0, marks=pytest.mark.slow),
+              (6, 0.65, 15.5)]
 
 
 @pytest.mark.parametrize("qm,rate,cliff", MCS_CLIFFS)

@@ -37,8 +37,13 @@ def test_encoder_all_lifting_sets_bit_exact(bg, zc):
     assert not ((h.astype(np.int32) @ fast.T.astype(np.int32)) % 2).any()
 
 
-@pytest.mark.parametrize("qm", [2, 4, 6, 8])
-@pytest.mark.parametrize("rv", [0, 1, 2, 3])
+@pytest.mark.parametrize("qm", [6,
+                                pytest.param(2, marks=pytest.mark.slow),
+                                pytest.param(4, marks=pytest.mark.slow),
+                                pytest.param(8, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("rv", [0, 2,
+                                pytest.param(1, marks=pytest.mark.slow),
+                                pytest.param(3, marks=pytest.mark.slow)])
 @pytest.mark.parametrize("bg", [1, 2])
 def test_rate_match_roundtrip(bg, rv, qm):
     """match_tb → dematch_tb places every transmitted bit at its codeword

@@ -1,6 +1,7 @@
 """Estimator fidelity: time alignment + time interpolation (VERDICT r2
 item 4; reference port_channel_estimator_average_impl.cpp:97-225)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,7 @@ def _drift_grid(cfg, tb, drift_hz, sigma, rng):
     return noisy + jnp.asarray(nz)
 
 
+@pytest.mark.slow
 def test_time_interp_survives_phase_drift():
     """At 64QAM a 300 Hz drift breaks the time-constant (average)
     estimator but decodes with per-symbol time interpolation."""

@@ -68,6 +68,7 @@ def test_gnb_app_phy_loopback_dci_over_grid():
     assert sched_ue.cqi > 0, sched_ue
 
 
+@pytest.mark.slow
 def test_gnb_app_ta_closed_loop():
     """Timing-advance closed loop: a UE timing error is measured by the
     gNB PRACH detector (→ RAR TA) and residual PUSCH error closes via TA

@@ -8,7 +8,7 @@ from srsran_project_23_5_tpu.ops.ldpc import (
     decoder, decoder_pallas, encoder, graphs)
 
 
-@pytest.mark.parametrize("bg,zc", [(1, 32), (2, 32)])
+@pytest.mark.parametrize("bg,zc", [pytest.param(1, 32, marks=pytest.mark.slow), (2, 32)])
 def test_pallas_matches_xla_decoder(bg, zc):
     rng = np.random.default_rng(0)
     g = graphs.lifted_graph(bg, zc)
@@ -45,7 +45,7 @@ def test_pallas_pads_nonmultiple_batch():
     assert np.array_equal(np.asarray(bits), msg)
 
 
-@pytest.mark.parametrize("bg,zc", [(1, 32), (2, 24)])
+@pytest.mark.parametrize("bg,zc", [pytest.param(1, 32, marks=pytest.mark.slow), (2, 24)])
 def test_pallas_encoder_matches_xla(bg, zc):
     from srsran_project_23_5_tpu.ops.ldpc import encoder_pallas
     rng = np.random.default_rng(2)

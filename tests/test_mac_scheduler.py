@@ -291,16 +291,17 @@ def test_skipped_slot_healing():
 
 def test_pucch_resources_collision_free():
     """Many UEs acked in one slot get unique (prb, cyclic-shift) PUCCH F1
-    resources across BOTH band-edge guardbands (weak #9 fix)."""
+    resources on the TOP-edge guardband (the bottom edge hosts SR and
+    periodic-CSI resources since r4 — uci_allocator partitioning)."""
     s = _sched(pucch_prbs=2)
     got = [s._reserve_pucch(0x4600 + i, ack_slot=9) for i in range(20)]
     lst = s._pending_pucch[9]
     pairs = [(p.prb, p.initial_cyclic_shift) for p in lst]
     assert len(set(pairs)) == len(pairs)          # no collisions
-    assert len(lst) == 16                         # 4 PRBs x 4 shifts
-    assert got[16] is None and got[19] is None    # capacity respected
+    assert len(lst) == 8                          # 2 PRBs x 4 shifts
+    assert got[8] is None and got[19] is None     # capacity respected
     prbs = {p.prb for p in lst}
-    assert prbs == {0, 1, s.cfg.nof_prb - 2, s.cfg.nof_prb - 1}
+    assert prbs == {s.cfg.nof_prb - 2, s.cfg.nof_prb - 1}
 
 
 def test_paging_occasion_and_mac_pdu():

@@ -45,6 +45,7 @@ def test_mixed_slot_sinr_calibrated(mixed_out):
     assert abs(out["csi_sinr_db"] - cfg.snr_db) < 3.0
 
 
+@pytest.mark.slow
 def test_mixed_slot_ue_full_decode():
     """ue_decode_dl=True runs the full UE-side LDPC decode of both PDSCH
     and cross-checks payload bits."""
@@ -80,6 +81,7 @@ def test_mixed_slot_negatives():
     assert m[cfg.prach_preamble] < cfg.prach_threshold, m
 
 
+@pytest.mark.slow
 def test_mixed_slot_pipeline_scan():
     """Mixed slot through the scan-amortized SlotPipeline: one dispatch
     covers K*B slots, accumulated on device (VERDICT r3 next #1)."""

@@ -72,8 +72,8 @@ elif which == "gold_qpsk":
     def f(z):
         c = gold.gold_sequence(jnp.uint32(123), 288).astype(jnp.float32)
         pil = ((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
-        return pil + z
-    print(np.asarray(f(jnp.complex64(0))).sum())
+        return pil + jax.lax.complex(z, jnp.float32(0))
+    print(np.asarray(f(jnp.float32(0))).sum())
 elif which == "modulate1":
     from srsran_project_23_5_tpu.ops import modulation
 
@@ -104,3 +104,77 @@ elif which == "dynslice":
     print(np.asarray(f(dev_c((2048,)))).sum())
 
 print(f"{which}: ok {time.perf_counter() - t0:.1f}s", flush=True)
+
+if which == "rm":
+    from srsran_project_23_5_tpu.ops.polar import code as pcode
+    from srsran_project_23_5_tpu.ops.polar import encoder as penc
+    from srsran_project_23_5_tpu.ops.polar import rate_match as prm
+    code = pcode.polar_code(56, 864, nmax_log=9)   # PBCH shape: repetition
+
+    @jax.jit
+    def f(bits):
+        u = penc.allocate(bits[None], code.info_set, code.n)
+        x = penc.encode(u)
+        return prm.match(x, code)
+    print(np.asarray(f(jnp.zeros((56,), jnp.int8))).sum())
+    print(f"rm: ok {time.perf_counter() - t0:.1f}s", flush=True)
+elif which == "ssb_struct":
+    # comb-row assembly WITHOUT the pbch chain: dummy QPSK from arg bits
+    from srsran_project_23_5_tpu.ops import modulation
+    from srsran_project_23_5_tpu.phy.upper import ssb as sp
+    cfg = sp.SsbConfig(pci=123)
+
+    @jax.jit
+    def f(bits):
+        syms = modulation.modulate(bits, 2)
+        pil = sp.dmrs_pbch_pilots(cfg)
+        v = cfg.pci % 4
+        dcols = [j for j in range(4) if j != v]
+
+        def comb_rows(data_chunk, pil_chunk, nquad):
+            cols = [None] * 4
+            cols[v] = pil_chunk
+            for i, j in enumerate(dcols):
+                cols[j] = data_chunk[i::3]
+            return jnp.stack(cols, axis=-1).reshape(nquad * 4)
+        row1 = comb_rows(syms[:180], pil[0:120:2], 60)
+        return row1
+    print(np.asarray(f(jnp.zeros((864,), jnp.int8))).sum())
+    print(f"ssb_struct: ok {time.perf_counter() - t0:.1f}s", flush=True)
+elif which == "scramble":
+    # int8 np-constant XOR + payload interleave gather (pbch_encode front)
+    from srsran_project_23_5_tpu.phy.upper import ssb as sp
+    cfg = sp.SsbConfig(pci=123)
+
+    @jax.jit
+    def f(payload):
+        a = sp._payload_interleave(payload)
+        return a ^ jnp.asarray(sp._first_scrambling_seq(cfg))
+    print(np.asarray(f(jnp.zeros((32,), jnp.int8))).sum())
+    print(f"scramble: ok {time.perf_counter() - t0:.1f}s", flush=True)
+
+if which == "fstride3":
+    @jax.jit
+    def f(a):          # float stride-3 slice + 4-col interleave
+        x = a[..., 0::3]
+        y = a[..., 1::3]
+        z = a[..., 2::3]
+        st = jnp.stack([x, y, z, x], axis=-1)
+        return st.reshape(-1)
+    print(np.asarray(f(jnp.ones((240,), jnp.float32))).sum())
+    print(f"fstride3: ok {time.perf_counter() - t0:.1f}s", flush=True)
+elif which == "cstride3":
+    @jax.jit
+    def f(a):
+        x = jax.lax.complex(a, a)
+        return x[..., 0::3]
+    print(np.asarray(f(jnp.ones((240,), jnp.float32))).sum())
+    print(f"cstride3: ok {time.perf_counter() - t0:.1f}s", flush=True)
+elif which == "ctrans":
+    @jax.jit
+    def f(a):          # complex reshape+swapaxes (layer_map shape)
+        x = jax.lax.complex(a, 2 * a)
+        lay = x.reshape(-1, 2).swapaxes(-1, -2)
+        return lay[0] + lay[1]
+    print(np.asarray(f(jnp.ones((256,), jnp.float32))).sum())
+    print(f"ctrans: ok {time.perf_counter() - t0:.1f}s", flush=True)
