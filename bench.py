@@ -44,6 +44,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# TPU hardware RNG for the channel noise: threefry burns ~hundreds of us
+# per slot generating the AWGN planes; XLA's RngBitGenerator (rbg) uses
+# the on-chip generator.  Opt out with TPU_RAN_RBG=off.
+if os.environ.get("TPU_RAN_RBG", "on").lower() not in ("off", "0"):
+    jax.config.update("jax_default_prng_impl", "rbg")
+
 # Persistent compilation cache (the FFTW-wisdom analogue, SURVEY §5.4).
 # r2/r3 disabled it because cross-process reads segfaulted the then-current
 # jax; re-validated working on jax 0.9.0 (tools-era probe: 23.3 s cold →
@@ -62,12 +68,12 @@ def main() -> None:
     from srsran_project_23_5_tpu.phy import pipeline
 
     nof_prb = int(os.environ.get("BENCH_PRB", "273"))
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "64"))
     K = int(os.environ.get("BENCH_SCAN", "8"))
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
     snr_db = float(os.environ.get("BENCH_SNR_DB", "20.0"))
     iters = int(os.environ.get("BENCH_LDPC_ITERS", "6"))
-    nslots = int(os.environ.get("BENCH_SLOTS", "16384"))
+    nslots = int(os.environ.get("BENCH_SLOTS", "8192"))
     nlat = int(os.environ.get("BENCH_LAT_SAMPLES", "32"))
 
     import dataclasses

@@ -32,6 +32,16 @@ from ...ran.constants import LLR_MAX, NRE
 from . import ulsch
 
 
+@functools.lru_cache(maxsize=256)
+def _scramble_seq(cinit: int, nof_bits: int) -> np.ndarray:
+    """Host-precomputed scrambling sequence (static per ShConfig): the
+    Gold LFSR is pure config, so bake it as an int8 constant instead of
+    re-deriving ~1 Mbit of sequence on device every slot
+    (pseudo_random_generator_impl.cpp precomputes x1/x2 state tables for
+    the same reason)."""
+    return gold.gold_sequence_np(cinit, nof_bits).astype(np.int8)
+
+
 @dataclasses.dataclass(frozen=True)
 class ShConfig:
     """Static configuration of one PDSCH/PUSCH allocation.
@@ -307,8 +317,7 @@ def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
 def _scramble_modulate_map(codeword: jnp.ndarray, cfg: ShConfig,
                            grid: jnp.ndarray,
                            w: jnp.ndarray | None = None) -> jnp.ndarray:
-    seq = gold.gold_sequence(
-        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.nof_bits)
+    seq = jnp.asarray(_scramble_seq(cfg.scrambling_cinit, cfg.nof_bits))
     scrambled = codeword.astype(jnp.int8) ^ seq
     syms = modulation.modulate(scrambled, cfg.qm)        # [n_re]
     if cfg.nof_layers == 1:
@@ -514,10 +523,9 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
         evm = evm_calculate(x_lay, cfg.qm)
         llr_lay = modulation.demodulate_soft(x_lay, nv_lay, cfg.qm)
         llr = precoding.layer_demap_llr(llr_lay, cfg.qm)  # [nof_bits]
-        seq = gold.gold_sequence(
-            jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32),
-            cfg.nof_bits)
-        llr = llr * (1.0 - 2.0 * seq.astype(jnp.float32))
+        seq = jnp.asarray(1.0 - 2.0 * _scramble_seq(
+            cfg.scrambling_cinit, cfg.nof_bits).astype(np.float32))
+        llr = llr * seq
         llr = jnp.clip(llr, -float(LLR_MAX), float(LLR_MAX))
         if cfg.uci.any:
             sch_llr, ack_llr, csi1_llr, csi2_llr = ulsch.demultiplex(
@@ -569,9 +577,9 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
     # --- demap + descramble (sign flip on scrambled positions)
     evm = evm_calculate(x_hat, cfg.qm)
     llr = modulation.demodulate_soft(x_hat, post_nv, cfg.qm)
-    seq = gold.gold_sequence(
-        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.nof_bits)
-    llr = llr * (1.0 - 2.0 * seq.astype(jnp.float32))
+    seq = jnp.asarray(1.0 - 2.0 * _scramble_seq(
+        cfg.scrambling_cinit, cfg.nof_bits).astype(np.float32))
+    llr = llr * seq
     llr = jnp.clip(llr, -float(LLR_MAX), float(LLR_MAX))  # int8 LLR domain
     llr = llr.reshape(-1)                                 # single-layer TB
 
