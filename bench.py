@@ -50,17 +50,11 @@ import jax.numpy as jnp
 if os.environ.get("TPU_RAN_RBG", "on").lower() not in ("off", "0"):
     jax.config.update("jax_default_prng_impl", "rbg")
 
-# Persistent compilation cache (the FFTW-wisdom analogue, SURVEY §5.4).
-# r2/r3 disabled it because cross-process reads segfaulted the then-current
-# jax; re-validated working on jax 0.9.0 (tools-era probe: 23.3 s cold →
-# 6.7 s warm across processes).  Opt out with TPU_RAN_JAX_CACHE=off.
-_cache = os.environ.get("TPU_RAN_JAX_CACHE", "")
-if _cache.lower() not in ("off", "0", "no"):
-    jax.config.update("jax_compilation_cache_dir",
-                      _cache or os.path.join(
-                          os.path.dirname(os.path.abspath(__file__)),
-                          ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache (the FFTW-wisdom analogue, SURVEY §5.4):
+# TPU executables only — see utils/cache.py for the CPU-side caveat.
+from srsran_project_23_5_tpu.utils.cache import enable_default_cache  # noqa: E402
+
+enable_default_cache()
 
 
 def main() -> None:

@@ -1,18 +1,31 @@
 """Persistent XLA compilation cache — the FFTW-wisdom analogue
-(SURVEY §5.4).  Validated working cross-process on jax 0.9.0 (the
-r2-era deserialization segfault is gone).  Opt out: TPU_RAN_JAX_CACHE=off.
+(SURVEY §5.4).
+
+Scope: TPU(axon) executables only.  Cache READS and TPU-side writes are
+safe on jax 0.9.0, but serializing very large XLA:CPU executables
+segfaults in `compilation_cache.put_executable_and_time` (reproduced
+2026-08-21 with the tiny-mixed ue_decode program; the r2-era crash was
+the read path of the same subsystem).  CPU runs therefore skip the
+cache unless TPU_RAN_JAX_CACHE is set explicitly.
 """
 from __future__ import annotations
 
 import os
 
 
-def enable_default_cache(root: str | None = None) -> None:
+def enable_default_cache(root: str | None = None,
+                         allow_cpu: bool = False) -> None:
     import jax
 
     cache = os.environ.get("TPU_RAN_JAX_CACHE", "")
     if cache.lower() in ("off", "0", "no"):
         return
+    if not cache and not allow_cpu:
+        try:
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
+            return
     if not cache:
         base = root or os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))

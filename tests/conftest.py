@@ -28,14 +28,14 @@ except (ValueError, OSError):
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the r2-era cross-process segfault is gone
-# on jax 0.9.0 (re-validated); caching cuts suite re-compiles sharply.
-# Opt out with TPU_RAN_JAX_CACHE=off.
+# NOTE: the persistent compilation cache stays OFF for the CPU suite —
+# serializing very large XLA:CPU executables segfaults in
+# compilation_cache.put_executable_and_time (reproduced 2026-08-21 on the
+# tiny-mixed ue_decode program).  TPU (bench.py) runs keep the cache on.
+# Opt in here at your own risk with TPU_RAN_JAX_CACHE=<dir>.
 _cache = os.environ.get("TPU_RAN_JAX_CACHE", "")
-if _cache.lower() not in ("off", "0", "no"):
-    jax.config.update("jax_compilation_cache_dir",
-                      _cache or os.path.join(os.path.dirname(__file__),
-                                             "..", ".jax_cache"))
+if _cache and _cache.lower() not in ("off", "0", "no"):
+    jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

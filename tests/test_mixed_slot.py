@@ -49,6 +49,7 @@ def test_mixed_slot_sinr_calibrated(mixed_out):
 def test_mixed_slot_ue_full_decode():
     """ue_decode_dl=True runs the full UE-side LDPC decode of both PDSCH
     and cross-checks payload bits."""
+    jax.clear_caches()     # XLA:CPU faults on accumulated giant compiles
     cfg = gnb_mixed.tiny_mixed(ue_decode_dl=True)
     rng = np.random.default_rng(1)
     payloads = gnb_mixed.make_payloads(cfg, rng)
@@ -85,6 +86,7 @@ def test_mixed_slot_negatives():
 def test_mixed_slot_pipeline_scan():
     """Mixed slot through the scan-amortized SlotPipeline: one dispatch
     covers K*B slots, accumulated on device (VERDICT r3 next #1)."""
+    jax.clear_caches()     # XLA:CPU faults on accumulated giant compiles
     cfg = gnb_mixed.tiny_mixed()
     rng = np.random.default_rng(3)
     B, K = 2, 2
