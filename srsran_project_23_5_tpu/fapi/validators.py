@@ -80,8 +80,13 @@ def validate_dl_tti(req: fapi.DlTtiRequest, nof_prb: int,
             errors.append(
                 f"pdcch[{i}]: payload has {len(pdu.payload_bits)} bits, "
                 f"config says {cfg.payload_size}")
-        last_prb = (cfg.coreset_start_prb + cfg.cce_index * 6
-                    + cfg.aggregation_level * 6 // cfg.nof_symbols)
+        # CCE-to-PRB mapping: each CCE spans 6 REGs spread over
+        # nof_symbols rows, so both the candidate's offset (cce_index)
+        # and span (aggregation_level) scale by 6/nof_symbols PRBs
+        # (matches PdcchConfig.re_indices bundle math).
+        last_prb = (cfg.coreset_start_prb
+                    + (cfg.cce_index + cfg.aggregation_level) * 6
+                    // cfg.nof_symbols)
         if last_prb > nof_prb:
             errors.append(f"pdcch[{i}]: candidate extends to PRB "
                           f"{last_prb} outside carrier 0..{nof_prb}")

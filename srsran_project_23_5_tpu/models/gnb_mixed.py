@@ -11,21 +11,33 @@ model is the answer: one static-shape slot program per bucket carrying
   DL: PDCCH (DL DCI + UL grant, AL4) ‖ SS/PBCH block ‖ NZP-CSI-RS ‖
       PDSCH UE0 (2-layer spatial multiplexing) ‖ PDSCH UE1 (1 layer)
   UL: PUSCH UE0 (2-layer) ‖ PUSCH UE1 ‖ PUCCH F1 (HARQ-ACK) ‖
-      PRACH occasion (139-chip short preamble, 12-symbol repetition)
+      PRACH occasion (139-chip short preamble, 12 repetitions,
+      TIME-DOMAIN: the RACH UE transmits an un-timed burst at its own
+      numerology window; the gNB demodulates the window from baseband
+      and measures TA — ofdm_prach_demodulator_impl.cpp:31-113)
 
 TPU design notes:
 - Frequency-flat per-UE channels are applied at the resource-grid level
   (exact for flat fading: modulate(h·G) = h·modulate(G)), so the whole
   uplink — four UEs with four different channels — costs ONE 2-port OFDM
   modulate + ONE demodulate.  Unitary mixing matrices keep the calibrated
-  per-RE SNR exact through the ZF equalizer.
+  per-RE SNR exact through the ZF equalizer.  A frequency-SELECTIVE
+  multi-tap option (tdl taps) applies the channel at baseband instead.
 - All per-slot payloads (TBs, DCIs, PBCH payload, ACK) are traced array
   arguments — nothing constant-folds into the compiled program.
 - gNB-side work (DL assembly + OFDM, UL receive: 2×2 PUSCH, PUCCH
-  detection, PRACH detection) runs in full.  UE-side DL verification is a
-  symbol-level hard-bit check against the known codeword by default
-  (sch.symbol_check) — the gNB never decodes its own PDSCH — with an
-  optional full-LDPC UE decode for tests (ue_decode_dl=True).
+  detection, PRACH occasion demod + detection) runs in full.  UE-side DL
+  verification is a symbol-level hard-bit check against the known
+  codeword by default (sch.symbol_check) — the gNB never decodes its own
+  PDSCH — with an optional full-LDPC UE decode for tests
+  (ue_decode_dl=True).
+- The slot program is split into a FRONT half (assembly, channels, OFDM,
+  demodulation — vmapped over the slot batch) and a BACK half (LDPC
+  decode + CRC).  The LDPC decode batches ALL slots' codeblocks of one
+  UE into ONE Pallas launch ([B*C, N] instead of vmap over [C, N]), so
+  the decoder tile grid carries no per-slot padding (C=17 per slot would
+  pad to 24 under vmap; B*17 CBs pad by at most B_TILE-1 total) —
+  VERDICT r4 next #1.
 """
 from __future__ import annotations
 
@@ -38,6 +50,8 @@ import numpy as np
 
 from ..ops import cplx
 from ..ops import prach as prach_ops
+from ..ops.ldpc import decoder as ldpc_decoder
+from ..ops.ldpc import decoder_pallas, segmentation
 from ..phy.lower import ofdm
 from ..phy.upper import csi_rs as csi_rs_proc
 from ..phy.upper import pdcch as pdcch_proc
@@ -69,10 +83,23 @@ class MixedSlotConfig:
     prach_preamble: int = 3       # expected preamble index in loopback
     prach_sc_start: int = 3072    # first subcarrier of the 139-chip window
     prach_nof_symbols: int = 12   # repetition count (B4-like short format)
+    # time-domain PRACH occasion geometry (VERDICT r4 next #6): the RACH
+    # UE's burst is CP + nof_symbols back-to-back nfft-sample repetitions
+    # placed at prach_delay_samples (an un-timed UE: delay < CP, within
+    # the N_cs TA window); the gNB demodulates the window from baseband.
+    prach_time_domain: bool = True
+    prach_start_sample: int = 0
+    prach_cp_samples: int = 0     # 0 → nfft // 16
+    prach_delay_samples: int = 0  # 0 → nfft // 64 (injected TA)
     snr_db: float = 20.0
     nof_ldpc_iterations: int = 6
     ue_decode_dl: bool = False    # full UE-side LDPC decode of both PDSCH
     prach_threshold: float = 16.0
+    # frequency-selective channel: tap delays (samples) and gains applied
+    # at BASEBAND per tx stream (power-normalized at build time).  Empty →
+    # frequency-flat grid-level channels (exact, cheapest).
+    tdl_delays: tuple[int, ...] = ()
+    tdl_gains: tuple[float, ...] = ()
 
     @property
     def nsc(self) -> int:
@@ -81,6 +108,14 @@ class MixedSlotConfig:
     @property
     def slot_samples(self) -> int:
         return numerology.slot_num_samples(self.mu, self.nfft)
+
+    @property
+    def prach_cp(self) -> int:
+        return self.prach_cp_samples or self.nfft // 16
+
+    @property
+    def prach_delay(self) -> int:
+        return self.prach_delay_samples or self.nfft // 64
 
 
 # Unitary 2×2 channels: columns orthonormal ⇒ ZF equalization adds no
@@ -147,6 +182,17 @@ def tiny_mixed(**over) -> MixedSlotConfig:
     return default_mixed(nof_prb=68, qm=2, rate=0.5, **over)
 
 
+def tdl_channel(cfg: MixedSlotConfig, delays=(0, 4, 9),
+                gains_db=(0.0, -3.0, -6.0)) -> MixedSlotConfig:
+    """Frequency-selective variant: TDL-like taps at integer sample
+    delays, power-normalized (port_channel_estimator_average_impl.cpp's
+    MATLAB TDL vectors are the reference analogue)."""
+    g = 10.0 ** (np.asarray(gains_db, np.float64) / 20.0)
+    g = g / np.sqrt(np.sum(g ** 2))
+    return dataclasses.replace(cfg, tdl_delays=tuple(int(d) for d in delays),
+                               tdl_gains=tuple(float(x) for x in g))
+
+
 def make_payloads(cfg: MixedSlotConfig, rng: np.random.Generator,
                   batch: int | None = None) -> dict:
     """Random per-slot payload pytree ([batch, ...] when batch given)."""
@@ -182,6 +228,20 @@ def _vecmix(h: np.ndarray, g: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.complex(jnp.float32(v.real), jnp.float32(v.imag))
 
     return jnp.stack([c(h[0]) * g, c(h[1]) * g])
+
+
+def _tdl_apply(x: jnp.ndarray, cfg: MixedSlotConfig) -> jnp.ndarray:
+    """Multi-tap baseband channel: y[n] = Σ_k g_k · x[n − d_k] with static
+    shifts (pad+slice; no dynamic complex rolls — axon hazard)."""
+    out = None
+    for d, g in zip(cfg.tdl_delays, cfg.tdl_gains):
+        if d == 0:
+            t = x
+        else:
+            pad = jnp.zeros((*x.shape[:-1], d), x.dtype)
+            t = jnp.concatenate([pad, x[..., :-d]], axis=-1)
+        out = g * t if out is None else out + g * t
+    return out if out is not None else x
 
 
 def _block_check(rx_blk: jnp.ndarray, tx_blk: jnp.ndarray) -> jnp.ndarray:
@@ -241,6 +301,7 @@ def hard_match_gate(qm: int, snr_db: float) -> float:
     return max(0.9, 1.0 - 4.0 * ber - 0.005)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MixedSlotResult:
     ok: jnp.ndarray               # every channel of the slot verified
@@ -262,14 +323,66 @@ class MixedSlotResult:
     sinr_ul0_db: jnp.ndarray
     sinr_ul1_db: jnp.ndarray
     sinr_dl0_db: jnp.ndarray
+    # measured PRACH time-of-arrival (samples at the carrier rate; the
+    # injected delay is cfg.prach_delay when prach_time_domain)
+    prach_ta_samples: jnp.ndarray | None = None
 
 
-def mixed_slot(payloads: dict, key: jnp.ndarray,
-               cfg: MixedSlotConfig) -> MixedSlotResult:
-    """Process one full mixed slot: DL assembly → channel → UE checks, and
-    UE transmissions → channel → gNB UL receive.  Pure and jittable."""
+@functools.lru_cache(maxsize=32)
+def _prach_burst_np(cfg: MixedSlotConfig) -> np.ndarray:
+    """Host-constant slot-length baseband of the RACH UE's burst:
+    CP + nof_symbols back-to-back nfft repetitions, delayed by the
+    injected (pre-TA) propagation delay."""
+    pre = prach_ops.generate(cfg.prach_root, cfg.prach_preamble, 139,
+                             cfg.prach_ncs)
+    off = (cfg.prach_sc_start - cfg.nsc // 2) % cfg.nfft
+    bins = np.zeros(cfg.nfft, np.complex64)
+    bins[(np.arange(139) + off) % cfg.nfft] = pre
+    rep = np.fft.ifft(bins).astype(np.complex64) * cfg.nfft
+    burst = np.concatenate([rep[-cfg.prach_cp:],
+                            np.tile(rep, cfg.prach_nof_symbols)])
+    full = np.zeros(cfg.slot_samples, np.complex64)
+    s0 = cfg.prach_start_sample + cfg.prach_delay
+    assert s0 + burst.size <= cfg.slot_samples, "PRACH window beyond slot"
+    full[s0:s0 + burst.size] = burst
+    return full
+
+
+def _prach_rx_window(rx_ul: jnp.ndarray, cfg: MixedSlotConfig) -> jnp.ndarray:
+    """gNB-side PRACH occasion demodulation from baseband → [nrx, 139].
+
+    The nof_symbols repetitions are averaged coherently IN TIME (each is
+    one full nfft period of the same waveform, so mean-then-FFT equals
+    the reference's FFT-then-accumulate loop at 1/nrep the FFT cost,
+    ofdm_prach_demodulator_impl.cpp:81-104)."""
+    n, nrep, cp = cfg.nfft, cfg.prach_nof_symbols, cfg.prach_cp
+    w0 = cfg.prach_start_sample + cp
+    body = rx_ul[..., w0:w0 + nrep * n]
+    reps = body.reshape(*body.shape[:-1], nrep, n).mean(axis=-2)
+    bins = jnp.fft.fft(reps, axis=-1) / n
+    off = (cfg.prach_sc_start - cfg.nsc // 2) % n
+    if off + 139 <= n:
+        return bins[..., off:off + 139].astype(jnp.complex64)
+    head = bins[..., off:]
+    tail = bins[..., :off + 139 - n]
+    return jnp.concatenate([head, tail], axis=-1).astype(jnp.complex64)
+
+
+def _decode_cbs(llr: jnp.ndarray, seg, iters: int):
+    """LDPC decode dispatch: Pallas on TPU, XLA graph decoder on CPU."""
+    if jax.default_backend() not in ("cpu",):
+        return decoder_pallas.decode(llr, seg.base_graph, seg.lifting_size,
+                                     nof_iterations=iters)
+    return ldpc_decoder.decode(llr, seg.base_graph, seg.lifting_size,
+                               nof_iterations=iters)
+
+
+# --------------------------------------------------------------------------
+# front half: assembly → channels → OFDM → demodulation → pre-decode checks
+# --------------------------------------------------------------------------
+def _mixed_front(payloads: dict, key: jnp.ndarray,
+                 cfg: MixedSlotConfig) -> dict:
     nsc = cfg.nsc
-    iters = cfg.nof_ldpc_iterations
     sigma = float(np.sqrt(cfg.nfft) * 10 ** (-cfg.snr_db / 20))
     k_dl, k_ul = jax.random.split(key)
 
@@ -288,34 +401,36 @@ def mixed_slot(payloads: dict, key: jnp.ndarray,
     g2d = csi_rs_proc.generate(cfg.csi_rs, g2d)
     grid_dl = grid_dl.at[0].add(g2d)
 
-    rx_dl_clean = _mix2(H_DL, grid_dl[0], grid_dl[1])
-    bb_dl = ofdm.modulate_slot(rx_dl_clean, cfg.mu, cfg.nfft)
+    selective = bool(cfg.tdl_delays)
+    if selective:
+        bb_tx = ofdm.modulate_slot(grid_dl, cfg.mu, cfg.nfft)
+        bb_dl = _mix2(H_DL, _tdl_apply(bb_tx[0], cfg),
+                      _tdl_apply(bb_tx[1], cfg))
+    else:
+        rx_dl_clean = _mix2(H_DL, grid_dl[0], grid_dl[1])
+        bb_dl = ofdm.modulate_slot(rx_dl_clean, cfg.mu, cfg.nfft)
     nz = (sigma / np.sqrt(2)) * jax.random.normal(
         k_dl, (2, 2, cfg.slot_samples), jnp.float32)
     rx_dl = bb_dl + jax.lax.complex(nz[0], nz[1])
     ue_grid = ofdm.demodulate_slot(rx_dl, nsc, cfg.mu, cfg.nfft)
 
-    # UE-side verification
+    # UE-side verification (pre-decode)
     d0 = sch.pusch_demodulate(ue_grid, cfg.pdsch0)
     d1 = sch.pusch_demodulate(ue_grid, cfg.pdsch1)
     dl0_match = sch.symbol_check(d0, cw0)
     dl1_match = sch.symbol_check(d1, cw1)
-    if cfg.ue_decode_dl:
-        r0 = sch.pusch_decode(d0.llr_full, cfg.pdsch0, d0.noise_var,
-                              d0.rsrp, iters, demod=d0)
-        r1 = sch.pusch_decode(d1.llr_full, cfg.pdsch1, d1.noise_var,
-                              d1.rsrp, iters, demod=d1)
-        dl0_ok = r0.tb_crc_ok & jnp.all(r0.tb_bits == payloads["tb_dl0"])
-        dl1_ok = r1.tb_crc_ok & jnp.all(r1.tb_bits == payloads["tb_dl1"])
-    else:
-        # pre-decode verification: hard-bit match above the QM-aware gate
-        # (uncoded hard decisions err at the operating point — that is
-        # the LDPC code's job) + post-eq EVM at the noise floor
-        evm_gate = 1.5 * 10 ** (-cfg.snr_db / 20)
-        dl0_ok = ((dl0_match > hard_match_gate(cfg.pdsch0.qm, cfg.snr_db))
-                  & (d0.evm < evm_gate))
-        dl1_ok = ((dl1_match > hard_match_gate(cfg.pdsch1.qm, cfg.snr_db))
-                  & (d1.evm < evm_gate))
+    # pre-decode verification: hard-bit match above the QM-aware gate
+    # (uncoded hard decisions err at the operating point — that is the
+    # LDPC code's job) + post-eq EVM at the noise floor.  Under a
+    # selective channel the EVM floor includes the estimator's
+    # interpolation error; widen by the tap spread.
+    evm_gate = (1.5 if not selective else 3.0) * 10 ** (-cfg.snr_db / 20)
+    gate0 = hard_match_gate(cfg.pdsch0.qm, cfg.snr_db)
+    gate1 = hard_match_gate(cfg.pdsch1.qm, cfg.snr_db)
+    if selective:
+        gate0, gate1 = min(gate0, 0.93), min(gate1, 0.93)
+    dl0_pre = (dl0_match > gate0) & (d0.evm < evm_gate)
+    dl1_pre = (dl1_match > gate1) & (d1.evm < evm_gate)
     sinr_dl0 = 10.0 * jnp.log10(
         jnp.maximum(1.0 / jnp.maximum(d0.post_noise_var, 1e-12), 1e-12))
 
@@ -356,58 +471,167 @@ def mixed_slot(payloads: dict, key: jnp.ndarray,
     grid_u2 = pucch_proc.pucch_f1_transmit(payloads["ack"], cfg.pucch,
                                            grid_u2)
     from ..ops.devconst import const_c64
-    pre = const_c64(prach_ops.generate(cfg.prach_root,
-                                       cfg.prach_preamble, 139,
-                                       cfg.prach_ncs))
-    plo = cfg.prach_sc_start
-    grid_u2 = grid_u2.at[0:cfg.prach_nof_symbols, plo:plo + 139].set(
-        pre[None, :])
+    if not cfg.prach_time_domain:
+        pre = const_c64(prach_ops.generate(cfg.prach_root,
+                                           cfg.prach_preamble, 139,
+                                           cfg.prach_ncs))
+        plo = cfg.prach_sc_start
+        grid_u2 = grid_u2.at[0:cfg.prach_nof_symbols, plo:plo + 139].set(
+            pre[None, :])
 
-    combined = (_mix2(H_UL, grid_u0[0], grid_u0[1])
-                + _vecmix(H1_UL, grid_u1) + _vecmix(H2_UL, grid_u2))
-    bb_ul = ofdm.modulate_slot(combined, cfg.mu, cfg.nfft)
+    if selective:
+        bb_u0 = ofdm.modulate_slot(grid_u0, cfg.mu, cfg.nfft)
+        bb_u1 = ofdm.modulate_slot(grid_u1, cfg.mu, cfg.nfft)
+        bb_u2 = ofdm.modulate_slot(grid_u2, cfg.mu, cfg.nfft)
+        if cfg.prach_time_domain:
+            bb_u2 = bb_u2 + const_c64(_prach_burst_np(cfg))
+        bb_ul = (_mix2(H_UL, _tdl_apply(bb_u0[0], cfg),
+                       _tdl_apply(bb_u0[1], cfg))
+                 + _vecmix(H1_UL, _tdl_apply(bb_u1, cfg))
+                 + _vecmix(H2_UL, _tdl_apply(bb_u2, cfg)))
+    else:
+        combined = (_mix2(H_UL, grid_u0[0], grid_u0[1])
+                    + _vecmix(H1_UL, grid_u1) + _vecmix(H2_UL, grid_u2))
+        bb_ul = ofdm.modulate_slot(combined, cfg.mu, cfg.nfft)
+        if cfg.prach_time_domain:
+            bb_ul = bb_ul + _vecmix(H2_UL, const_c64(_prach_burst_np(cfg)))
     nzu = (sigma / np.sqrt(2)) * jax.random.normal(
         k_ul, (2, 2, cfg.slot_samples), jnp.float32)
     rx_ul = bb_ul + jax.lax.complex(nzu[0], nzu[1])
     gnb_grid = ofdm.demodulate_slot(rx_ul, nsc, cfg.mu, cfg.nfft)
 
-    # gNB receive: 2 PUSCH (one 2×2), PUCCH F1, PRACH
-    u0 = sch.pusch_receive(gnb_grid, cfg.pusch0, iters)
-    u1 = sch.pusch_receive(gnb_grid, cfg.pusch1, iters)
-    ul0_ok = u0.tb_crc_ok & jnp.all(u0.tb_bits == payloads["tb_ul0"])
-    ul1_ok = u1.tb_crc_ok & jnp.all(u1.tb_bits == payloads["tb_ul1"])
+    # gNB receive front: 2 PUSCH demods (one 2×2), PUCCH F1, PRACH
+    u0 = sch.pusch_demodulate(gnb_grid, cfg.pusch0)
+    u1 = sch.pusch_demodulate(gnb_grid, cfg.pusch1)
 
     pu = pucch_proc.pucch_f1_detect(gnb_grid, cfg.pucch)
     pucch_ok = pu.detected & jnp.all(
         pu.bits[:cfg.pucch.nof_harq_bits]
         == payloads["ack"].astype(pu.bits.dtype))
 
-    pre_rx = jnp.mean(gnb_grid[:, 0:cfg.prach_nof_symbols,
-                               plo:plo + 139], axis=1)
-    metric, _, _ = prach_ops.detect(pre_rx, cfg.prach_root, 139,
-                                    cfg.prach_ncs)
+    if cfg.prach_time_domain:
+        pre_rx = _prach_rx_window(rx_ul, cfg)
+    else:
+        plo = cfg.prach_sc_start
+        pre_rx = jnp.mean(gnb_grid[:, 0:cfg.prach_nof_symbols,
+                                   plo:plo + 139], axis=1)
+    metric, delay, _ = prach_ops.detect(pre_rx, cfg.prach_root, 139,
+                                        cfg.prach_ncs)
     m = jnp.mean(metric, axis=0)                      # combine rx ports
     prach_metric = m[cfg.prach_preamble]
+    prach_ta = (jnp.mean(delay, axis=0)[cfg.prach_preamble]
+                * (cfg.nfft / 139.0))                 # chips → samples
     prach_ok = ((jnp.argmax(m) == cfg.prach_preamble)
                 & (prach_metric > cfg.prach_threshold))
+    if cfg.prach_time_domain:
+        # measured TA must recover the injected (pre-TA) delay
+        prach_ok = prach_ok & (
+            jnp.abs(prach_ta - cfg.prach_delay) <= 1.0)
+
+    return {
+        "u0": u0, "u1": u1,
+        "d0": d0 if cfg.ue_decode_dl else None,
+        "d1": d1 if cfg.ue_decode_dl else None,
+        "dl0_match": dl0_match, "dl1_match": dl1_match,
+        "dl0_pre": dl0_pre, "dl1_pre": dl1_pre,
+        "pdcch_match": pdcch_match, "ssb_match": ssb_match,
+        "pss_corr": pss_corr, "pucch_ok": pucch_ok,
+        "pucch_metric": pu.detection_metric,
+        "prach_ok": prach_ok, "prach_metric": prach_metric,
+        "prach_ta": prach_ta,
+        "csi_sinr_db": csi_sinr_db, "sinr_dl0": sinr_dl0,
+    }
+
+
+# --------------------------------------------------------------------------
+# back half: decoded bits → CRC/desegment → verification verdicts
+# --------------------------------------------------------------------------
+def _mixed_back(front: dict, payloads: dict, cfg: MixedSlotConfig,
+                dec: dict) -> MixedSlotResult:
+    def finish(name, sh, tb_ref):
+        bits, okc = dec[name]
+        tb, tb_ok, cb_ok = segmentation.desegment_rx(bits, sh.segments)
+        return (tb_ok & jnp.all(okc)
+                & jnp.all(tb == tb_ref.astype(tb.dtype)), cb_ok & okc)
+
+    ul0_ok, _ = finish("u0", cfg.pusch0, payloads["tb_ul0"])
+    ul1_ok, _ = finish("u1", cfg.pusch1, payloads["tb_ul1"])
+    u0, u1 = front["u0"], front["u1"]
+    sinr_u0 = 10.0 * jnp.log10(jnp.maximum(
+        1.0 / jnp.maximum(u0.post_noise_var, 1e-12), 1e-12))
+    sinr_u1 = 10.0 * jnp.log10(jnp.maximum(
+        1.0 / jnp.maximum(u1.post_noise_var, 1e-12), 1e-12))
+
+    if cfg.ue_decode_dl:
+        dl0_ok, _ = finish("d0", cfg.pdsch0, payloads["tb_dl0"])
+        dl1_ok, _ = finish("d1", cfg.pdsch1, payloads["tb_dl1"])
+    else:
+        dl0_ok, dl1_ok = front["dl0_pre"], front["dl1_pre"]
 
     # ssb_match = 1 − relative reconstruction error; the error floor at
     # the calibrated SNR is 10^(−snr/10) (0.01 at 20 dB), so gate at 5×
-    # the floor rather than a fixed 0.99
-    ssb_gate = 1.0 - 5.0 * 10 ** (-cfg.snr_db / 10)
-    ok = (ul0_ok & ul1_ok & dl0_ok & dl1_ok & (pdcch_match > 0.99)
-          & (ssb_match > ssb_gate) & (pss_corr > 0.8) & pucch_ok
-          & prach_ok)
+    # the floor rather than a fixed 0.99.  Selective channels add the
+    # flat-fit mismatch of the block check — widen the gate.
+    floor = 5.0 * 10 ** (-cfg.snr_db / 10)
+    if cfg.tdl_delays:
+        floor = max(floor, 0.2)
+    ssb_gate = 1.0 - floor
+    pdcch_gate = 0.99 if not cfg.tdl_delays else 0.95
+    ok = (ul0_ok & ul1_ok & dl0_ok & dl1_ok
+          & (front["pdcch_match"] > pdcch_gate)
+          & (front["ssb_match"] > ssb_gate) & (front["pss_corr"] > 0.8)
+          & front["pucch_ok"] & front["prach_ok"])
     return MixedSlotResult(
-        ok=ok, sinr_ul_db=0.5 * (u0.sinr_db + u1.sinr_db),
+        ok=ok, sinr_ul_db=0.5 * (sinr_u0 + sinr_u1),
         ul0_ok=ul0_ok, ul1_ok=ul1_ok,
-        dl0_match=dl0_match, dl1_match=dl1_match,
+        dl0_match=front["dl0_match"], dl1_match=front["dl1_match"],
         dl0_ok=dl0_ok, dl1_ok=dl1_ok,
-        pdcch_match=pdcch_match, ssb_match=ssb_match, pss_corr=pss_corr,
-        pucch_ok=pucch_ok, pucch_metric=pu.detection_metric,
-        prach_ok=prach_ok, prach_metric=prach_metric,
-        csi_sinr_db=csi_sinr_db, sinr_ul0_db=u0.sinr_db,
-        sinr_ul1_db=u1.sinr_db, sinr_dl0_db=sinr_dl0)
+        pdcch_match=front["pdcch_match"], ssb_match=front["ssb_match"],
+        pss_corr=front["pss_corr"],
+        pucch_ok=front["pucch_ok"], pucch_metric=front["pucch_metric"],
+        prach_ok=front["prach_ok"], prach_metric=front["prach_metric"],
+        csi_sinr_db=front["csi_sinr_db"], sinr_ul0_db=sinr_u0,
+        sinr_ul1_db=sinr_u1, sinr_dl0_db=front["sinr_dl0"],
+        prach_ta_samples=front["prach_ta"])
+
+
+def _decode_names(cfg: MixedSlotConfig) -> list[tuple[str, object]]:
+    names = [("u0", cfg.pusch0), ("u1", cfg.pusch1)]
+    if cfg.ue_decode_dl:
+        names += [("d0", cfg.pdsch0), ("d1", cfg.pdsch1)]
+    return names
+
+
+def mixed_slot(payloads: dict, key: jnp.ndarray,
+               cfg: MixedSlotConfig) -> MixedSlotResult:
+    """Process one full mixed slot: DL assembly → channel → UE checks, and
+    UE transmissions → channel → gNB UL receive.  Pure and jittable."""
+    front = _mixed_front(payloads, key, cfg)
+    dec = {}
+    for name, sh in _decode_names(cfg):
+        dec[name] = _decode_cbs(front[name].llr_full, sh.segments,
+                                cfg.nof_ldpc_iterations)
+    return _mixed_back(front, payloads, cfg, dec)
+
+
+def mixed_slot_batch(payloads: dict, keys: jnp.ndarray,
+                     cfg: MixedSlotConfig) -> MixedSlotResult:
+    """Batch of B full mixed slots with CROSS-SLOT LDPC decode batching:
+    the front half is vmapped; each UE's [B, C, N] LLRs decode as ONE
+    [B*C, N] Pallas launch (no per-slot tile padding); the back half is
+    vmapped.  Identical results to vmap(mixed_slot), measurably faster
+    (VERDICT r4 next #1: C=17 padded to 24 per slot under vmap)."""
+    B = keys.shape[0]
+    front = jax.vmap(lambda p, k: _mixed_front(p, k, cfg))(payloads, keys)
+    dec = {}
+    for name, sh in _decode_names(cfg):
+        llr = front[name].llr_full                   # [B, C, N]
+        C, N = llr.shape[-2], llr.shape[-1]
+        bits, okc = _decode_cbs(llr.reshape(B * C, N), sh.segments,
+                                cfg.nof_ldpc_iterations)
+        dec[name] = (bits.reshape(B, C, -1), okc.reshape(B, C))
+    return jax.vmap(
+        lambda f, p, d: _mixed_back(f, p, cfg, d))(front, payloads, dec)
 
 
 def mixed_slot_dict(payloads: dict, key: jnp.ndarray,
@@ -420,5 +644,14 @@ def slot_fn_for_pipeline(cfg: MixedSlotConfig):
     """(payloads, key) → (ok, sinr_db) — the SlotPipeline slot contract."""
     def fn(payloads, key):
         res = mixed_slot(payloads, key, cfg)
+        return res.ok, res.sinr_ul_db
+    return fn
+
+
+def batch_fn_for_pipeline(cfg: MixedSlotConfig):
+    """(payloads [B,...], keys [B,...]) → (ok [B], sinr_db [B]) — the
+    SlotPipeline BATCH contract (cross-slot decode batching)."""
+    def fn(payloads, keys):
+        res = mixed_slot_batch(payloads, keys, cfg)
         return res.ok, res.sinr_ul_db
     return fn

@@ -58,11 +58,17 @@ class SlotPipeline:
     slot_fn: optional (payload_pytree, key) -> (ok, sinr_db) override —
     e.g. models.gnb_mixed.slot_fn_for_pipeline for the full mixed slot.
     The default is the single PDSCH→PUSCH loopback of `config.carrier`.
+
+    batch_fn: optional (payloads [B,...], keys [B,...]) -> (ok [B],
+    sinr_db [B]) BATCH-level override (e.g. gnb_mixed.batch_fn_for_pipeline)
+    used instead of vmap(slot_fn) — lets the model restructure work across
+    the slot batch (cross-slot LDPC decode batching, VERDICT r4 next #1).
     """
 
-    def __init__(self, config: PipelineConfig, slot_fn=None) -> None:
+    def __init__(self, config: PipelineConfig, slot_fn=None,
+                 batch_fn=None) -> None:
         self.config = config
-        if slot_fn is None:
+        if slot_fn is None and batch_fn is None:
             cc = config.carrier
             slot_samples = numerology.slot_num_samples(cc.mu, cc.nfft)
             # per-RE SNR calibration: modulate_slot scales so a unit-power
@@ -83,15 +89,22 @@ class SlotPipeline:
                 res = sch.pusch_receive(grid[None], cc.sh, iters)
                 return res.tb_crc_ok, res.sinr_db
 
-        if config.slots_per_batch == 1:
-            self._step = jax.jit(lambda t, k: slot_fn(t[0], k[0]))
+        if batch_fn is not None:
+            vstep = batch_fn
+            self._step = jax.jit(batch_fn)
+        elif config.slots_per_batch == 1:
+            # index the batch axis through the payload pytree (a dict
+            # payload must not be indexed by key)
+            vstep = jax.vmap(slot_fn)
+            self._step = jax.jit(lambda t, k: slot_fn(
+                jax.tree.map(lambda x: x[0], t), k[0]))
         else:
-            self._step = jax.jit(jax.vmap(slot_fn))
+            vstep = jax.vmap(slot_fn)
+            self._step = jax.jit(vstep)
         # Scan-amortized step: (tb [B, A], seed u32) -> (all_ok, sinr_sum)
         # over K*B slots in ONE dispatch.  Per-slot PRNG keys are derived
         # on device (fold_in) so nothing but one scalar rides each submit.
         B, K = config.slots_per_batch, config.scan_batches
-        vstep = jax.vmap(slot_fn)
 
         def scan_step(tb_batch, seed):
             def body(carry, k):

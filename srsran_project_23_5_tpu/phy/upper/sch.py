@@ -443,6 +443,7 @@ def evm_calculate(x_hat: jnp.ndarray, qm: int) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean(jnp.abs(x_hat - hard) ** 2))
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PuschDemod:
     """Output of the PUSCH front half (pre-LDPC)."""

@@ -146,8 +146,15 @@ def pucch_f1_resource(cell: "CellConfig", idx: int) -> tuple[int, int]:
 
 
 def sr_resource(cell: "CellConfig", rnti: int) -> tuple[int, int]:
-    """SR opportunity resource: bottom-edge PRB 0, CS by RNTI."""
-    return 0, PUCCH_F1_SHIFTS[rnti % len(PUCCH_F1_SHIFTS)]
+    """SR opportunity resource: bottom-edge PRB 0, CS by RNTI.
+
+    UEs sharing an SR slot have RNTIs congruent mod sr_period_slots
+    (is_sr_slot), so the cyclic shift is derived from
+    rnti // sr_period_slots — consecutive same-slot UEs get distinct
+    shifts instead of colliding whenever their RNTIs differ by a
+    multiple of the period."""
+    return 0, PUCCH_F1_SHIFTS[(rnti // cell.sr_period_slots)
+                              % len(PUCCH_F1_SHIFTS)]
 
 
 def is_sr_slot(cell: "CellConfig", rnti: int, slot: int) -> bool:
