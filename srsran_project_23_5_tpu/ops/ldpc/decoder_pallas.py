@@ -19,7 +19,7 @@ messages carry ≤8 significant bits in the reference; bfloat16's 8-bit
 mantissa loses nothing.
 
 Early termination (ldpc_decoder_impl.cpp:116-134):
-- the syndrome is evaluated every `check_period` iterations (default 2) —
+- the syndrome is evaluated every `check_period` iterations (default 1) —
   at operating SNR decodes converge in 2-4 iterations, below the cliff
   the syndrome never passes, so per-iteration checks are wasted work;
 - convergence is tracked PER CODEBLOCK: a converged CB's app/c2v state
@@ -48,20 +48,41 @@ STORE = (jnp.float32 if os.environ.get("TPU_RAN_DEC_STORE") == "f32"
 _FREEZE = os.environ.get("TPU_RAN_DEC_FREEZE", "1") != "0"
 
 
-def _layers(graph):
+def _layers(graph, nof_used_blocks=None):
+    """Static layer schedule, truncated to the rate-matched graph.
+
+    Rows whose variables all lie beyond `nof_used_blocks` would only
+    touch untransmitted (zero-LLR) degree-1 extension parity: their
+    min-sum messages to every other edge pass through the zero-magnitude
+    edge, so skipping them is EXACT — the reference sizes its row loop
+    off the rate-matched codeword length the same way
+    (ldpc_decoder_impl.cpp:116-134).  At the flagship rate 0.65 this
+    drops 46 base rows to ~16 (3x less decode work)."""
     out, e0 = [], 0
     for cols, shifts in zip(graph.row_cols, graph.row_shifts):
-        out.append((e0, tuple(cols), tuple(shifts)))
-        e0 += len(cols)
+        if nof_used_blocks is None or max(cols) < nof_used_blocks:
+            out.append((e0, tuple(cols), tuple(shifts)))
+            e0 += len(cols)          # compacted c2v edge offsets
     return out, e0
 
 
-def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float,
-                 early_termination: bool = True, check_period: int = 2):
+def used_blocks(base_graph: int, z: int, longest_cb_bits: int) -> int:
+    """Variable blocks carrying transmitted LLRs for an rv=0 circular-
+    buffer read of `longest_cb_bits` bits (+ the 2Zc punctured blocks)."""
     graph = lifted_graph(base_graph, z)
-    n = graph.nof_var_blocks
+    n_core = graph.nof_msg_blocks + 4          # systematic + core parity
+    n = 2 + -(-longest_cb_bits // z)
+    return max(min(n, graph.nof_var_blocks), n_core)
+
+
+def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float,
+                 early_termination: bool = True, check_period: int = 1,
+                 nof_used_blocks: int | None = None):
+    graph = lifted_graph(base_graph, z)
+    n = (graph.nof_var_blocks if nof_used_blocks is None
+         else min(nof_used_blocks, graph.nof_var_blocks))
     k = graph.nof_msg_blocks
-    layers, n_edges = _layers(graph)
+    layers, n_edges = _layers(graph, nof_used_blocks)
     d_max = max(len(c) for _, c, _ in layers)
 
     def blk(ref, i):
@@ -123,30 +144,34 @@ def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float,
                             t + msg, z - s).astype(STORE)
 
         if early_termination:
+            # check_period sweeps per loop step, then an UNCONDITIONAL
+            # syndrome check: a lax.cond-gated check measured 8.5x slower
+            # than checking every step (Mosaic lowers the kernel-internal
+            # cond catastrophically — round-5 microbench, exp_dec_r5.py)
+            steps = -(-nof_iterations // check_period)
+
             def body(carry):
                 it, done = carry
-                update_layers(done)
-                do_check = (it % check_period) == (check_period - 1)
-                done = jax.lax.cond(
-                    do_check,
-                    lambda d: jnp.maximum(
-                        d, (row_syndrome() > 0.0).astype(jnp.float32)),
-                    lambda d: d, done)
+                for _ in range(check_period):
+                    update_layers(done)
+                done = jnp.maximum(
+                    done, (row_syndrome() > 0.0).astype(jnp.float32))
                 return it + 1, done
 
-            jax.lax.while_loop(
-                lambda c: (c[0] < nof_iterations)
-                & (jnp.min(c[1]) < 0.5),
+            _, done = jax.lax.while_loop(
+                lambda c: (c[0] < steps) & (jnp.min(c[1]) < 0.5),
                 body,
                 (jnp.int32(0), jnp.zeros((B_TILE, 1), jnp.float32)))
+            # `done` IS the final per-CB syndrome: the body checks after
+            # every sweep (incl. the last), so no extra final sweep.
+            okrow = done
         else:
             def fixed_body(_, carry):
                 update_layers(jnp.zeros((B_TILE, 1), jnp.float32))
                 return carry
             jax.lax.fori_loop(0, nof_iterations, fixed_body, 0)
+            okrow = row_syndrome()                       # [B, 1]
 
-        # Hard decisions + final per-CB syndrome.
-        okrow = row_syndrome()                           # [B, 1]
         ok = jnp.broadcast_to(okrow > 0.0, (B_TILE, 128))
         ok_ref[:] = ok.astype(jnp.int32)
         bits_ref[:] = (app[:, :k * z].astype(jnp.float32)
@@ -155,13 +180,15 @@ def _make_kernel(base_graph: int, z: int, nof_iterations: int, scale: float,
     return kernel, n, k, n_edges, d_max
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def _decode_tiles(llr: jnp.ndarray, base_graph: int, z: int,
                   nof_iterations: int, scale: float, interpret: bool,
-                  early_termination: bool = True, check_period: int = 2):
+                  early_termination: bool = True, check_period: int = 1,
+                  nof_used_blocks: int | None = None):
     kernel, n, k, n_edges, d_max = _make_kernel(
         base_graph, z, nof_iterations, scale, early_termination,
-        check_period)
+        check_period, nof_used_blocks)
+    llr = llr[:, :n * z]     # untransmitted tail blocks never enter VMEM
     bp = llr.shape[0]
     assert bp % B_TILE == 0
     grid = (bp // B_TILE,)
@@ -194,11 +221,14 @@ def decode(llr: jnp.ndarray, base_graph: int, lifting_size: int,
            nof_iterations: int = 6, scale: float = 0.8,
            interpret: bool = False,
            early_termination: bool = True,
-           check_period: int = 2
+           check_period: int = 1,
+           nof_used_blocks: int | None = None
            ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-kernel decode; same contract as decoder.decode.
 
     llr: [batch, N_full*Zc] float32; returns (bits [batch, K], ok [batch]).
+    nof_used_blocks truncates the decoding graph to the rate-matched
+    span (see _layers; exact for rv=0 circular-buffer reads).
     """
     b = llr.shape[0]
     bp = -(-b // B_TILE) * B_TILE
@@ -210,5 +240,6 @@ def decode(llr: jnp.ndarray, base_graph: int, lifting_size: int,
             axis=0)
     bits, ok = _decode_tiles(llr.astype(jnp.float32), base_graph,
                              lifting_size, nof_iterations, float(scale),
-                             interpret, early_termination, check_period)
+                             interpret, early_termination, check_period,
+                             nof_used_blocks)
     return bits[:b], ok[:b]

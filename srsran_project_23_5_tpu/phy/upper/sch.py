@@ -367,6 +367,87 @@ def symbol_check(demod: PuschDemod, codeword: jnp.ndarray) -> jnp.ndarray:
                      ).astype(jnp.float32))
 
 
+def symbol_verify(rx_grid: jnp.ndarray, tx_grid: jnp.ndarray,
+                  cfg: ShConfig) -> tuple[jnp.ndarray, jnp.ndarray,
+                                          jnp.ndarray]:
+    """UE-side symbol-domain DL verification against the KNOWN tx grid.
+
+    Estimates + equalizes the allocation exactly like pusch_demodulate,
+    then compares each equalized data symbol against the transmitted
+    constellation point (per-axis deviation < half the minimum distance ⇔
+    the hard decision recovers the transmitted symbol, i.e. every one of
+    its qm bits).  Equivalent in strength to the hard-bit codeword match
+    (sch.symbol_check) at ~1/3 the device cost: the soft demapper,
+    descrambler and rate-dematcher — all independently exercised by the
+    measured UL path in the same program — drop out of the chain.
+
+    tx_grid: [nsym, nsc] or [port, nsym, nsc] — the assembled DL grid
+    (identity layer→port mapping, so port rows are layer symbols).
+    Returns (symbol_match_fraction, evm_vs_ref, post_noise_var).
+    """
+    if rx_grid.ndim == 2:
+        rx_grid = rx_grid[None]
+    if tx_grid.ndim == 2:
+        tx_grid = tx_grid[None]
+    lo, hi = cfg.sc_bounds
+    tx_pilots = _dmrs_pilots(cfg)
+    rx_pilots = jnp.stack(
+        [rx_grid[..., l, lo:hi][..., 0::2] for l in cfg.dmrs_symbols],
+        axis=-2)
+
+    def _keep_resv(x, l):
+        keep = cfg.reserved_keep_offsets[l]
+        nk = len(keep)
+        blk = x.reshape(*x.shape[:-1], cfg.nof_prb, NRE)
+        if keep == tuple(range(keep[0], keep[0] + nk)):
+            kept = blk[..., keep[0]:keep[0] + nk]
+        else:
+            kept = blk[..., jnp.asarray(keep)]
+        return kept.reshape(*x.shape[:-1], cfg.nof_prb * nk)
+
+    def rows(grid, h_alloc=None):
+        y_rows, h_rows = [], []
+        for l, kind in cfg.symbol_plan:
+            row = grid[..., l, lo:hi]
+            if kind == "full":
+                y_rows.append(row)
+                if h_alloc is not None:
+                    h_rows.append(h_alloc)
+            elif kind == "reserved":
+                y_rows.append(_keep_resv(row, l))
+                if h_alloc is not None:
+                    h_rows.append(_keep_resv(h_alloc, l))
+            elif kind == "comb_data":
+                y_rows.append(row[..., 1::2])
+                if h_alloc is not None:
+                    h_rows.append(h_alloc[..., 1::2])
+        y = jnp.concatenate(y_rows, axis=-1)
+        if h_alloc is None:
+            return y
+        return y, jnp.concatenate(h_rows, axis=-1)
+
+    if cfg.nof_layers == 2:
+        est = estimator.estimate_comb2_occ2(rx_pilots, tx_pilots)
+        y, h = rows(rx_grid, est.h_alloc)
+        noise_var = jnp.maximum(jnp.mean(est.noise_var), 1e-9)
+        x_hat, nv = equalizer.zf_nx2(y, h, noise_var)      # [2, n_re]
+        x_ref = rows(tx_grid[:2])
+    else:
+        est = estimator.estimate_comb2(rx_pilots, tx_pilots,
+                                       time_interp=cfg.time_interp)
+        y, h = rows(rx_grid, est.h_alloc)
+        noise_var = jnp.maximum(jnp.mean(est.noise_var), 1e-9)
+        x_hat, nv = equalizer.zf_1xn(y, h, noise_var)
+        x_ref = rows(tx_grid[:1])[0]
+    half_d = float({2: 1 / np.sqrt(2), 4: 1 / np.sqrt(10),
+                    6: 1 / np.sqrt(42), 8: 1 / np.sqrt(170)}[cfg.qm])
+    d = x_hat - x_ref
+    hit = ((jnp.abs(d.real) < half_d) & (jnp.abs(d.imag) < half_d))
+    match = jnp.mean(hit.astype(jnp.float32))
+    evm = jnp.sqrt(jnp.mean(jnp.abs(d) ** 2))
+    return match, evm, jnp.mean(nv)
+
+
 def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
                    grid: jnp.ndarray,
                    encoder_backend: str = "auto",
@@ -615,13 +696,22 @@ def pusch_decode(llr_full: jnp.ndarray, cfg: ShConfig,
     if decoder_backend == "auto":
         decoder_backend = ("pallas" if jax.default_backend() not in ("cpu",)
                            else "xla")
+    # rv=0 circular-buffer reads are contiguous: truncate the decoding
+    # graph to the transmitted span (exact — see decoder_pallas._layers).
+    # Retransmissions (rv>0) and HARQ-combined buffers wrap, so decode
+    # the full graph.
+    n_used = (decoder_pallas.used_blocks(seg.base_graph, seg.lifting_size,
+                                         max(cfg.cb_lengths))
+              if cfg.rv == 0 else None)
     if decoder_backend == "pallas":
         bits, ok = decoder_pallas.decode(llr_full, seg.base_graph,
                                          seg.lifting_size,
-                                         nof_iterations=nof_ldpc_iterations)
+                                         nof_iterations=nof_ldpc_iterations,
+                                         nof_used_blocks=n_used)
     else:
         bits, ok = decoder.decode(llr_full, seg.base_graph, seg.lifting_size,
-                                  nof_iterations=nof_ldpc_iterations)
+                                  nof_iterations=nof_ldpc_iterations,
+                                  nof_used_blocks=n_used)
     tb, tb_ok, cb_ok = segmentation.desegment_rx(bits, seg)
     tb_ok = tb_ok & jnp.all(ok)
     # Post-equalization SINR (EVM→SINR analogue, pusch_processor_impl.cpp):
