@@ -66,6 +66,89 @@ def _csi_meas(csi_cfg):
     return meas
 
 
+@functools.lru_cache(maxsize=64)
+def _blind_decode_fn(cfg):
+    """Jitted PDCCH blind decode, cached per static config — a fresh
+    jax.jit object per call would recompile the same program every slot
+    (measured: 36 recompiles / 95 s of a 128-slot app run)."""
+    return jax.jit(lambda g, c: pdcch_proc.pdcch_blind_receive(g, cfg, c))
+
+
+# UE-side jitted processors, cached per static config: without these the
+# UE modem ran EAGERLY — hundreds of single-op XLA compiles and per-op
+# dispatch overhead across an app run (the gNB side runs the fused slot
+# programs of phy/upper/slot_programs.py).  Like those, the cache key
+# normalizes slot_in_frame to 0 and takes the slot's DM-RS cinits as
+# TRACED data, so one compiled modem program serves every slot of the
+# frame (slot_programs.signature explains the ~20x blow-up otherwise).
+from ..ops import dmrs as _dmrs_ops
+from ..phy.upper.slot_programs import pusch_cinits as _pusch_cinits
+
+
+@functools.lru_cache(maxsize=128)
+def _ue_pdsch_rx_fn0(cfg0, iters=6):
+    def fn(g, ci):
+        pil = _dmrs_ops.pilot_values(ci, cfg0.prb_start, cfg0.nof_prb)
+        res = sch.pusch_receive(g, cfg0, iters, tx_pilots=pil)
+        return res.tb_bits, res.tb_crc_ok
+    return jax.jit(fn)
+
+
+def _ue_pdsch_rx_fn(cfg, iters=6):
+    cfg0 = dataclasses.replace(cfg, slot_in_frame=0)
+    fn = _ue_pdsch_rx_fn0(cfg0, iters)
+    ci = _pusch_cinits(cfg)
+    return lambda g: fn(g, ci)
+
+
+@functools.lru_cache(maxsize=128)
+def _ue_pusch_tx_fn0(cfg0):
+    def fn(bits, grid, ci):
+        pil = _dmrs_ops.pilot_values(ci, cfg0.prb_start, cfg0.nof_prb)
+        return sch.pusch_transmit(bits, cfg0, grid, pilots=pil)
+    return jax.jit(fn)
+
+
+def _ue_pusch_tx_fn(cfg):
+    cfg0 = dataclasses.replace(cfg, slot_in_frame=0)
+    fn = _ue_pusch_tx_fn0(cfg0)
+    ci = _pusch_cinits(cfg)
+    return lambda bits, grid: fn(bits, grid, ci)
+
+
+@functools.lru_cache(maxsize=64)
+def _ue_pucch_f1_tx_fn0(cfg0):
+    def fn(bits, grid, planes):
+        seqs = (jax.lax.complex(planes[0], planes[1]),
+                jax.lax.complex(planes[2], planes[3]))
+        return pucch_proc.pucch_f1_transmit(bits, cfg0, grid, seqs=seqs)
+    return jax.jit(fn)
+
+
+def _ue_pucch_f1_tx_fn(cfg):
+    # sequences ship as float planes (complex host->device transfer is
+    # UNIMPLEMENTED on the TPU backend)
+    cfg0 = dataclasses.replace(cfg, slot_in_frame=0)
+    fn = _ue_pucch_f1_tx_fn0(cfg0)
+    d, m = pucch_proc.f1_slot_seqs(cfg)
+    planes = tuple(jnp.asarray(x, jnp.float32)
+                   for x in (d.real, d.imag, m.real, m.imag))
+    return lambda bits, grid: fn(bits, grid, planes)
+
+
+@functools.lru_cache(maxsize=64)
+def _ue_pucch_f2_tx_fn0(cfg0):
+    return jax.jit(lambda bits, grid, ci: pucch_proc.pucch_f2_transmit(
+        bits, cfg0, grid, dmrs_cinits=ci))
+
+
+def _ue_pucch_f2_tx_fn(cfg):
+    cfg0 = dataclasses.replace(cfg, slot_in_frame=0)
+    fn = _ue_pucch_f2_tx_fn0(cfg0)
+    ci = jnp.asarray(pucch_proc.f2_dmrs_cinits(cfg))
+    return lambda bits, grid: fn(bits, grid, ci)
+
+
 @dataclasses.dataclass
 class _UeUlGrant:
     """UE-side uplink grant state (decoded from DCI 0_0 or the RAR)."""
@@ -139,9 +222,8 @@ class PhyLoop:
         cand = sorted(set(cand))
         width = self.cell.pdcch_candidates
         cand = (cand + cand[:1] * width)[:width]
-        payloads, oks = jax.jit(
-            lambda g, c: pdcch_proc.pdcch_blind_receive(g, cfg, c)
-        )(rx_grid, jnp.asarray(cand, jnp.int32))
+        payloads, oks = _blind_decode_fn(cfg)(
+            rx_grid, jnp.asarray(cand, jnp.int32))
         out: dict = {}
         oks = np.asarray(oks)
         payloads = np.asarray(payloads)
@@ -207,8 +289,8 @@ class PhyLoop:
             if d is None:
                 continue                  # no DCI decoded → no PDSCH
             ue_cfg = self._ue_sh_config(d, cfg.rnti, slot)
-            res = sch.pusch_receive(rx[None], ue_cfg, 6)
-            ok = bool(res.tb_crc_ok)
+            tb_bits, tb_ok = _ue_pdsch_rx_fn(ue_cfg)(rx[None])
+            ok = bool(tb_ok)
             if cfg.rnti == ue.rnti:
                 ack_slot = cell_cfg.next_ul_slot(self.cell,
                                                  slot + self.cell.k1)
@@ -216,11 +298,11 @@ class PhyLoop:
                     (d.pri, ok))
                 if ok:
                     self.stats["dl_decoded"] += 1
-                    ue.consume_dl_pdu(_bytes(np.asarray(res.tb_bits)))
+                    ue.consume_dl_pdu(_bytes(np.asarray(tb_bits)))
                 else:
                     self.stats["dl_failed"] += 1
             elif cfg.rnti == 1 and ok:    # RAR on RA-RNTI
-                self._ue_consume_rar(_bytes(np.asarray(res.tb_bits)), ue,
+                self._ue_consume_rar(_bytes(np.asarray(tb_bits)), ue,
                                      slot)
             elif cfg.rnti == SI_RNTI and ok:
                 ue.nof_sib1_decoded += 1
@@ -283,7 +365,7 @@ class PhyLoop:
             wire = ue.build_ul_pdu(g)
             cfg = self._ue_ul_sh_config(g, slot)
             bits = jnp.asarray(_bits(wire, cfg.tbs))
-            grid = sch.pusch_transmit(bits, cfg, grid)
+            grid = _ue_pusch_tx_fn(cfg)(bits, grid)
             active = True
         # ---- PUCCH F1 HARQ-ACK (resource from the DCI's PRI)
         for pri, ack in self._ue_acks.pop(slot, []):
@@ -293,8 +375,7 @@ class PhyLoop:
             cfg = pucch_proc.PucchF1Config(
                 prb=prb, initial_cyclic_shift=cs,
                 slot_in_frame=slot % self.cell.slots_per_frame)
-            grid = pucch_proc.pucch_f1_transmit(
-                jnp.ones((1,), jnp.int8), cfg, grid)
+            grid = _ue_pucch_f1_tx_fn(cfg)(jnp.ones((1,), jnp.int8), grid)
             self.stats["pucch_ack_tx"] += 1
             active = True
         if ue.rnti is not None:
@@ -306,8 +387,8 @@ class PhyLoop:
                 cfg = pucch_proc.PucchF1Config(
                     prb=prb, initial_cyclic_shift=cs,
                     slot_in_frame=slot % self.cell.slots_per_frame)
-                grid = pucch_proc.pucch_f1_transmit(
-                    jnp.ones((1,), jnp.int8), cfg, grid)
+                grid = _ue_pucch_f1_tx_fn(cfg)(jnp.ones((1,), jnp.int8),
+                                               grid)
                 self.stats["sr_tx"] += 1
                 active = True
             # ---- periodic CSI on PUCCH F2
@@ -319,7 +400,7 @@ class PhyLoop:
                 cqi_bits = jnp.asarray(
                     [(ue.last_cqi >> (3 - i)) & 1 for i in range(4)],
                     jnp.int8)
-                grid = pucch_proc.pucch_f2_transmit(cqi_bits, f2, grid)
+                grid = _ue_pucch_f2_tx_fn(f2)(cqi_bits, grid)
                 self.stats["csi_f2_tx"] += 1
                 active = True
         if not active:

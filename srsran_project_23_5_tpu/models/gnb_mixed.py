@@ -236,51 +236,54 @@ def _vecmix(h: np.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 def _tdl_apply(x: jnp.ndarray, cfg: MixedSlotConfig) -> jnp.ndarray:
     """Multi-tap baseband channel: y[n] = Σ_k g_k · x[n − d_k] with static
     shifts (pad+slice; no dynamic complex rolls — axon hazard)."""
-    out = None
-    for d, g in zip(cfg.tdl_delays, cfg.tdl_gains):
-        if d == 0:
-            t = x
-        else:
-            pad = jnp.zeros((*x.shape[:-1], d), x.dtype)
-            t = jnp.concatenate([pad, x[..., :-d]], axis=-1)
-        out = g * t if out is None else out + g * t
-    return out if out is not None else x
+    from ..testing.channels import tdl_apply
+    return tdl_apply(x, cfg.tdl_delays, cfg.tdl_gains)
 
 
-def _block_check(rx_blk: jnp.ndarray, tx_blk: jnp.ndarray) -> jnp.ndarray:
+def _block_check(rx_blk: jnp.ndarray, tx_blk: jnp.ndarray,
+                 seg: int = NRE) -> jnp.ndarray:
     """Relative reconstruction error check over a contiguous grid block:
-    estimate one flat channel per rx port from ALL non-zero tx REs, then
-    err = Σ|y − ĥ·x|² / Σ|ĥ·x|².  Slice-structured (no gathers) and
+    estimate one channel per (rx port, `seg`-subcarrier sub-block) from
+    ALL non-zero tx REs of the sub-block, then err = Σ|y−ĥx|²/Σ|ĥx|².
+    Piecewise-flat per PRB ⇒ exact for flat channels and tight under
+    delay spread (the per-PRB coherence regime the estimator's frequency
+    interpolation targets).  Slice/reshape-structured (no gathers) and
     content-agnostic — verifies pilots and data alike."""
-    occ = (jnp.abs(tx_blk) > 1e-6).astype(jnp.float32)
-    h = (jnp.sum(rx_blk * jnp.conj(tx_blk), axis=(-2, -1))
-         / jnp.maximum(jnp.sum(occ * jnp.abs(tx_blk) ** 2, axis=(-2, -1)),
-                       1e-12))
-    ref = h[:, None, None] * tx_blk
-    err = jnp.sum(jnp.abs((rx_blk - ref) * occ) ** 2)
-    sig = jnp.maximum(jnp.sum(jnp.abs(ref) ** 2 * occ), 1e-12)
+    nrx = rx_blk.shape[0]
+    nsym, nsc = tx_blk.shape[-2], tx_blk.shape[-1]
+    nb = nsc // seg
+    rx = rx_blk[..., :nb * seg].reshape(nrx, nsym, nb, seg)
+    tx = tx_blk[..., :nb * seg].reshape(nsym, nb, seg)
+    occ = (jnp.abs(tx) > 1e-6).astype(jnp.float32)
+    num = jnp.sum(rx * jnp.conj(tx)[None], axis=(1, 3))          # [nrx, nb]
+    den = jnp.maximum(jnp.sum(occ * jnp.abs(tx) ** 2, axis=(0, 2)), 1e-12)
+    h = num / den[None]
+    ref = h[:, None, :, None] * tx[None]
+    err = jnp.sum(jnp.abs((rx - ref) * occ[None]) ** 2)
+    sig = jnp.maximum(jnp.sum(jnp.abs(ref) ** 2 * occ[None]), 1e-12)
     return err / sig
 
 
 def _pdcch_check(rx_grid: jnp.ndarray, tx_grid: jnp.ndarray,
                  cfg: pdcch_proc.PdcchConfig) -> jnp.ndarray:
     """Hard-QPSK match fraction of the candidate's data REs after MRC with
-    a flat channel estimated from its DM-RS (slice-structured)."""
+    a PER-REG channel estimated from the REG's 3 DM-RS pilots (the
+    reference's pdcch demapper granularity) — piecewise-flat per REG, so
+    the check stays tight under delay spread.  Reshape-structured: REs of
+    a REG land as [3 quads × 4], pilots at quad offset 1 (no complex
+    strided gathers — unimplemented on the TPU backend, ops/cplx.py)."""
     nregs = cfg.aggregation_level * 6
     lo = (cfg.coreset_start_prb + cfg.cce_index * 6) * NRE
     l = cfg.start_symbol
-    rx = rx_grid[:, l, lo:lo + nregs * NRE]
-    tx = tx_grid[l, lo:lo + nregs * NRE]
-    # quad-column picks on float planes (complex odd strides are
-    # unimplemented on the TPU backend, ops/cplx.py)
-    y_m, x_m = cplx.cstride(rx, 1, 4), cplx.cstride(tx, 1, 4)
-    h = jnp.mean(y_m * jnp.conj(x_m), axis=-1)       # [nrx]
-    y_d = jnp.concatenate([cplx.cstride(rx, 0, 4), cplx.cstride(rx, 2, 4),
-                           cplx.cstride(rx, 3, 4)], axis=-1)
-    x_d = jnp.concatenate([cplx.cstride(tx, 0, 4), cplx.cstride(tx, 2, 4),
-                           cplx.cstride(tx, 3, 4)], axis=-1)
-    d_hat = (jnp.sum(jnp.conj(h)[:, None] * y_d, axis=0)
-             / jnp.maximum(jnp.sum(jnp.abs(h) ** 2), 1e-12))
+    nrx = rx_grid.shape[0]
+    y = rx_grid[:, l, lo:lo + nregs * NRE].reshape(nrx, nregs, 3, 4)
+    x = tx_grid[l, lo:lo + nregs * NRE].reshape(nregs, 3, 4)
+    h = jnp.mean(y[..., 1] * jnp.conj(x[None, ..., 1]), axis=-1)  # [nrx, r]
+    y_d = jnp.concatenate([y[..., 0], y[..., 2], y[..., 3]], axis=-1)
+    x_d = jnp.concatenate([x[..., 0], x[..., 2], x[..., 3]], axis=-1)
+    num = jnp.sum(jnp.conj(h)[..., None] * y_d, axis=0)     # [r, 9]
+    den = jnp.maximum(jnp.sum(jnp.abs(h) ** 2, axis=0), 1e-12)
+    d_hat = num / den[:, None]
     match = ((jnp.sign(d_hat.real) == jnp.sign(x_d.real))
              & (jnp.sign(d_hat.imag) == jnp.sign(x_d.imag)))
     return jnp.mean(match.astype(jnp.float32))
@@ -567,9 +570,13 @@ def _mixed_front(payloads: dict, key: jnp.ndarray,
     prach_ok = ((jnp.argmax(m) == cfg.prach_preamble)
                 & (prach_metric > cfg.prach_threshold))
     if cfg.prach_time_domain:
-        # measured TA must recover the injected (pre-TA) delay
+        # measured TA must recover the injected (pre-TA) delay; under a
+        # multi-tap channel the correlation peaks of taps closer than one
+        # ZC-chip mainlobe (~nfft/139 samples) merge, so the composite
+        # argmax may sit anywhere between first and last tap
+        ta_tol = 1.0 + (max(cfg.tdl_delays) if cfg.tdl_delays else 0.0)
         prach_ok = prach_ok & (
-            jnp.abs(prach_ta - cfg.prach_delay) <= 1.0)
+            jnp.abs(prach_ta - cfg.prach_delay) <= ta_tol)
 
     return {
         "u0": u0, "u1": u1, "d0": d0, "d1": d1,
@@ -615,12 +622,19 @@ def _mixed_back(front: dict, payloads: dict, cfg: MixedSlotConfig,
     # flat-fit mismatch of the block check — widen the gate.
     floor = 5.0 * 10 ** (-cfg.snr_db / 10)
     if cfg.tdl_delays:
-        floor = max(floor, 0.2)
+        # per-PRB piecewise-flat fit leaves the within-PRB tap rotation
+        # as residual; budget it on top of the noise floor
+        floor = max(floor, 0.05)
     ssb_gate = 1.0 - floor
     pdcch_gate = 0.99 if not cfg.tdl_delays else 0.95
+    # flat PSS correlation decorrelates under delay spread (tap phase
+    # winds ~2π·d·127/nfft across the 127-sc PSS) — a UE's matched-filter
+    # timing search absorbs this; the in-program check widens its gate
+    pss_gate = 0.8 if not cfg.tdl_delays else 0.6
     ok = (ul0_ok & ul1_ok & dl0_ok & dl1_ok
           & (front["pdcch_match"] > pdcch_gate)
-          & (front["ssb_match"] > ssb_gate) & (front["pss_corr"] > 0.8)
+          & (front["ssb_match"] > ssb_gate)
+          & (front["pss_corr"] > pss_gate)
           & front["pucch_ok"] & front["prach_ok"])
     return MixedSlotResult(
         ok=ok, sinr_ul_db=0.5 * (sinr_u0 + sinr_u1),
@@ -673,6 +687,62 @@ def mixed_slot_batch(payloads: dict, keys: jnp.ndarray,
         dec[name] = (bits.reshape(B, C, -1), okc.reshape(B, C))
     return jax.vmap(
         lambda f, p, d: _mixed_back(f, p, cfg, d))(front, payloads, dec)
+
+
+def harq_retx_batch(payloads: dict, keys: jnp.ndarray,
+                    cfg: MixedSlotConfig, snr1_db: float,
+                    retx_rv: int = 2) -> dict:
+    """HARQ retransmission ON the measured mixed-slot path (VERDICT r4
+    next #9): slot 1 carries both PUSCH at rv=0 at an SNR below the MCS
+    cliff (CRC fails), slot 2 retransmits the SAME TBs at rv=retx_rv;
+    the gNB soft-combines the two slots' full circular-buffer LLRs
+    (rx_softbuffer_pool_impl.h:37-67's combine, here a jnp add fused
+    into the decode program) and decodes the union.  Incremental
+    redundancy (rv 0+2 covers ~2× the buffer) plus chase gain where the
+    spans overlap make the combined decode succeed where EACH single
+    transmission fails.
+
+    Returns per-slot-pair verdicts: first_ok/retx_ok must be (mostly)
+    False, combined_ok True — the measurable combine gain.
+    """
+    B = keys.shape[0]
+    cfg1 = dataclasses.replace(cfg, snr_db=snr1_db)
+    cfg2 = dataclasses.replace(
+        cfg1, pusch0=dataclasses.replace(cfg.pusch0, rv=retx_rv),
+        pusch1=dataclasses.replace(cfg.pusch1, rv=retx_rv))
+    k1 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+    k2 = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+    f1 = jax.vmap(lambda p, k: _mixed_front(p, k, cfg1))(payloads, k1)
+    f2 = jax.vmap(lambda p, k: _mixed_front(p, k, cfg2))(payloads, k2)
+
+    out = {}
+    for name, sh in (("u0", cfg.pusch0), ("u1", cfg.pusch1)):
+        la = f1[name].llr_full                      # [B, C, N]
+        lb = f2[name].llr_full
+        C, N = la.shape[-2], la.shape[-1]
+
+        def tb_ok(llr, rv_for_span):
+            # rv>0 spans wrap the circular buffer — decode the full graph
+            sh_d = dataclasses.replace(sh, rv=rv_for_span)
+            bits, okc = _decode_cbs(llr.reshape(B * C, N), sh_d,
+                                    cfg.nof_ldpc_iterations)
+            bits = bits.reshape(B, C, -1)
+            okc = okc.reshape(B, C)
+
+            def one(b, o, tb_ref):
+                tb, tb_crc, _ = segmentation.desegment_rx(b, sh.segments)
+                return (tb_crc & jnp.all(o)
+                        & jnp.all(tb == tb_ref.astype(tb.dtype)))
+            return jax.vmap(one)(bits, okc,
+                                 payloads["tb_ul0" if name == "u0"
+                                          else "tb_ul1"])
+
+        out[name] = {
+            "first_ok": tb_ok(la, 0),
+            "retx_ok": tb_ok(lb, retx_rv),
+            "combined_ok": tb_ok(la + lb, retx_rv),
+        }
+    return out
 
 
 def mixed_slot_dict(payloads: dict, key: jnp.ndarray,

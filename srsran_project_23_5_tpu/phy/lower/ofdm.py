@@ -91,20 +91,38 @@ def modulate_slot(grid: jnp.ndarray, mu: int, nfft: int,
     return jnp.concatenate(pieces, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def demodulate_slot(samples: jnp.ndarray, nsc: int, mu: int, nfft: int,
                     slot_in_subframe: int = 0,
-                    center_freq_hz: float = 0.0) -> jnp.ndarray:
-    """Inverse of modulate_slot: [..., slot_samples] → [..., 14, nsc]."""
+                    center_freq_hz: float = 0.0,
+                    rx_window_offset: float = 0.0) -> jnp.ndarray:
+    """Inverse of modulate_slot: [..., slot_samples] → [..., 14, nsc].
+
+    rx_window_offset ∈ [0, 1): fraction of each symbol's cyclic prefix by
+    which the demodulation window is ADVANCED into the CP (the reference's
+    optional rx-to-tx offset compensation,
+    ofdm_demodulator_impl.cpp:60-75,121-128).  Advancing by a_l samples
+    turns the body into a circular shift x[(n−a_l) mod N], so each FFT bin
+    k picks up e^{−j2πk a_l/N}; the per-(symbol, bin) phasor below undoes
+    it exactly.  The margin buys ISI robustness: channel taps with delay
+    up to (1−offset)·CP stay inside the (shifted) window.
+    """
     cps = numerology.cp_lengths(mu, nfft, slot_in_subframe)
     starts = _symbol_starts(mu, nfft, slot_in_subframe)
+    adv = np.asarray([int(rx_window_offset * int(cps[l]))
+                      for l in range(MAX_NSYMB_PER_SLOT)], np.int64)
     syms = []
     for l in range(MAX_NSYMB_PER_SLOT):
-        begin = int(starts[l]) + int(cps[l])
+        begin = int(starts[l]) + int(cps[l]) - int(adv[l])
         syms.append(samples[..., begin:begin + nfft])
     time = jnp.stack(syms, axis=-2)
     comp = jnp.asarray(
         phase_compensation(mu, nfft, slot_in_subframe, center_freq_hz))
     time = time * jnp.conj(comp)[..., :, None]
     bins = jnp.fft.fft(time, axis=-1).astype(jnp.complex64) / nfft
+    if rx_window_offset:
+        k = np.arange(nfft)
+        win = np.exp(2j * np.pi * adv[:, None] * k[None, :] / nfft
+                     ).astype(np.complex64)
+        bins = bins * jnp.asarray(win)
     return _bins_to_grid(bins, nsc)

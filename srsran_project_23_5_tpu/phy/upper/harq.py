@@ -38,6 +38,18 @@ class SoftbufferPool:
                                     expiry_slot=slot_count + self._expiry)
         return llr
 
+    # -- raw storage API for the fused slot programs (the combine itself
+    # runs ON DEVICE inside the jitted program; the pool only holds the
+    # resulting device arrays between slots — slot_programs.py)
+    def get(self, rnti: int, harq: int) -> jnp.ndarray | None:
+        e = self._buffers.get((rnti, harq))
+        return e.llr if e is not None else None
+
+    def put(self, rnti: int, harq: int, llr: jnp.ndarray,
+            slot_count: int) -> None:
+        self._buffers[(rnti, harq)] = _Entry(
+            llr=llr, expiry_slot=slot_count + self._expiry)
+
     def release(self, rnti: int, harq: int) -> None:
         self._buffers.pop((rnti, harq), None)
 

@@ -72,15 +72,37 @@ def _f1_symbol_seqs(cfg: PucchF1Config, symbols: tuple[int, ...]
     return np.asarray(rows, dtype=np.complex64)
 
 
+def f1_slot_seqs(cfg: PucchF1Config) -> tuple[np.ndarray, np.ndarray]:
+    """(data_seqs, dmrs_seqs) for the config's slot — pass as TRACED data
+    to pucch_f1_transmit/detect so one compiled program serves every slot
+    of the frame (the cyclic-shift hopping n_cs(l) is the only
+    slot-dependent term, TS 38.211 §6.3.2.2.2)."""
+    return (_f1_symbol_seqs(cfg, cfg.data_symbols),
+            _f1_symbol_seqs(cfg, cfg.dmrs_symbols))
+
+
+def f2_dmrs_cinits(cfg: "PucchF2Config") -> np.ndarray:
+    """[nsym] uint32 DM-RS c_init values for the config's slot (traced
+    companion of f1_slot_seqs for Format 2)."""
+    return np.asarray([dmrs_ops.dmrs_cinit(cfg.slot_in_frame, l,
+                                           cfg.n_id0, 0)
+                       for l in cfg.symbols], np.uint32)
+
+
 def pucch_f1_transmit(bits: jnp.ndarray, cfg: PucchF1Config,
-                      grid: jnp.ndarray) -> jnp.ndarray:
-    """Map a PUCCH F1 resource onto [nsym, nsc] grid (loopback/test aid)."""
+                      grid: jnp.ndarray, seqs=None) -> jnp.ndarray:
+    """Map a PUCCH F1 resource onto [nsym, nsc] grid (loopback/test aid).
+
+    seqs: optional traced (data_seqs, dmrs_seqs) from f1_slot_seqs."""
     if cfg.nof_harq_bits == 1:
         d = modulation.modulate(bits, 1)[..., 0]
     else:
         d = modulation.modulate(bits, 2)[..., 0]
-    data_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.data_symbols))
-    dmrs_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
+    if seqs is not None:
+        data_seqs, dmrs_seqs = seqs
+    else:
+        data_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.data_symbols))
+        dmrs_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
     w_d = const_c64(_occ_w(len(cfg.data_symbols), cfg.occ_index))
     w_m = const_c64(_occ_w(len(cfg.dmrs_symbols), cfg.occ_index))
     lo = cfg.prb * NRE
@@ -99,14 +121,20 @@ class PucchF1Result:
 
 
 def pucch_f1_detect(rx_grid: jnp.ndarray, cfg: PucchF1Config,
-                    dtx_threshold: float = 4.0) -> PucchF1Result:
+                    dtx_threshold: float = 4.0,
+                    seqs=None) -> PucchF1Result:
     """Detect F1 HARQ bits from [nrx, nsym, nsc] grid
-    (pucch_detector_impl.cpp re-expressed as batched correlation)."""
+    (pucch_detector_impl.cpp re-expressed as batched correlation).
+
+    seqs: optional traced (data_seqs, dmrs_seqs) from f1_slot_seqs."""
     if rx_grid.ndim == 2:
         rx_grid = rx_grid[None]
     lo = cfg.prb * NRE
-    data_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.data_symbols))
-    dmrs_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
+    if seqs is not None:
+        data_seqs, dmrs_seqs = seqs
+    else:
+        data_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.data_symbols))
+        dmrs_seqs = const_c64(_f1_symbol_seqs(cfg, cfg.dmrs_symbols))
     w_d = const_c64(_occ_w(len(cfg.data_symbols), cfg.occ_index))
     w_m = const_c64(_occ_w(len(cfg.dmrs_symbols), cfg.occ_index))
 
@@ -176,30 +204,34 @@ class PucchF2Config:
         return ((self.rnti << 15) + self.n_id) % (1 << 31)
 
 
-def _f2_dmrs_pilots(cfg: PucchF2Config) -> jnp.ndarray:
+def _f2_dmrs_pilots(cfg: PucchF2Config,
+                    cinits: jnp.ndarray | None = None) -> jnp.ndarray:
     """[nsym, npilot] DM-RS pilots (TS 38.211 §6.4.1.3.2: Gold-QPSK with
-    sequence offset aligned to the PRB position)."""
-    rows = []
+    sequence offset aligned to the PRB position).  cinits: optional
+    traced [nsym] uint32 (f2_dmrs_cinits) — keeps the slot number out of
+    the compiled shape."""
     npil = len(cfg.dmrs_sc)
-    for l in cfg.symbols:
-        cinit = dmrs_ops.dmrs_cinit(cfg.slot_in_frame, l, cfg.n_id0, 0)
-        # 4 pilots per PRB; sequence starts at PRB offset
-        m0 = 4 * cfg.prb_start
-        c = gold.gold_sequence(jnp.asarray(cinit, dtype=jnp.uint32),
-                               2 * npil, offset=2 * m0).astype(jnp.float32)
-        rows.append(((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2))
-    return jnp.stack(rows).astype(jnp.complex64)
+    m0 = 4 * cfg.prb_start          # 4 pilots per PRB, PRB-offset sequence
+    if cinits is None:
+        cinits = jnp.asarray([dmrs_ops.dmrs_cinit(cfg.slot_in_frame, l,
+                                                  cfg.n_id0, 0)
+                              for l in cfg.symbols], jnp.uint32)
+    c = gold.gold_sequence(cinits, 2 * npil,
+                           offset=2 * m0).astype(jnp.float32)
+    return (((1 - 2 * c[..., 0::2]) + 1j * (1 - 2 * c[..., 1::2]))
+            / np.sqrt(2)).astype(jnp.complex64)
 
 
 def pucch_f2_transmit(uci_bits: jnp.ndarray, cfg: PucchF2Config,
-                      grid: jnp.ndarray) -> jnp.ndarray:
+                      grid: jnp.ndarray,
+                      dmrs_cinits: jnp.ndarray | None = None) -> jnp.ndarray:
     e = cfg.nof_data_re * 2
     enc = short_block.encode(uci_bits, e)
     seq = gold.gold_sequence(
         jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), e)
     syms = modulation.modulate(enc ^ seq, 2)
     per_sym = len(cfg.data_sc)
-    pilots = _f2_dmrs_pilots(cfg)
+    pilots = _f2_dmrs_pilots(cfg, dmrs_cinits)
     for i, l in enumerate(cfg.symbols):
         chunk = syms[i * per_sym:(i + 1) * per_sym]
         grid = grid.at[..., l, jnp.asarray(cfg.data_sc)].set(chunk)
@@ -215,10 +247,12 @@ class PucchF2Result:
 
 
 def pucch_f2_receive(rx_grid: jnp.ndarray, cfg: PucchF2Config,
-                     detection_threshold: float = 0.5) -> PucchF2Result:
+                     detection_threshold: float = 0.5,
+                     dmrs_cinits: jnp.ndarray | None = None
+                     ) -> PucchF2Result:
     if rx_grid.ndim == 2:
         rx_grid = rx_grid[None]
-    pilots = _f2_dmrs_pilots(cfg)
+    pilots = _f2_dmrs_pilots(cfg, dmrs_cinits)
     y_p = jnp.stack([rx_grid[..., l, jnp.asarray(cfg.dmrs_sc)]
                      for l in cfg.symbols], axis=-2)
     nsc = rx_grid.shape[-1]

@@ -316,12 +316,13 @@ def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
 
 def _scramble_modulate_map(codeword: jnp.ndarray, cfg: ShConfig,
                            grid: jnp.ndarray,
-                           w: jnp.ndarray | None = None) -> jnp.ndarray:
+                           w: jnp.ndarray | None = None,
+                           pilots: jnp.ndarray | None = None) -> jnp.ndarray:
     seq = jnp.asarray(_scramble_seq(cfg.scrambling_cinit, cfg.nof_bits))
     scrambled = codeword.astype(jnp.int8) ^ seq
     syms = modulation.modulate(scrambled, cfg.qm)        # [n_re]
     if cfg.nof_layers == 1:
-        return map_res(syms, cfg, grid)
+        return map_res(syms, cfg, grid, pilots=pilots)
     # Spatial multiplexing: layer map (TS 38.211 §7.3.1.3), per-layer RE
     # mapping with OCC'd DM-RS, then precode layer planes onto antenna
     # ports (channel_precoder_avx2.cpp → one einsum).  DM-RS rides the
@@ -331,7 +332,7 @@ def _scramble_modulate_map(codeword: jnp.ndarray, cfg: ShConfig,
     assert grid.ndim == 3, "MIMO transmit needs a [port, nsym, nsc] grid"
     nports = grid.shape[0]
     lay = precoding.layer_map(syms, cfg.nof_layers)      # [L, n_re/L]
-    base_pilots = _dmrs_pilots(cfg)
+    base_pilots = pilots if pilots is not None else _dmrs_pilots(cfg)
     planes = []
     for l in range(cfg.nof_layers):
         occ = jnp.asarray(_dmrs_occ(cfg, l))
@@ -451,21 +452,24 @@ def symbol_verify(rx_grid: jnp.ndarray, tx_grid: jnp.ndarray,
 def pdsch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig,
                    grid: jnp.ndarray,
                    encoder_backend: str = "auto",
-                   w: jnp.ndarray | None = None) -> jnp.ndarray:
+                   w: jnp.ndarray | None = None,
+                   pilots: jnp.ndarray | None = None) -> jnp.ndarray:
     """Process one transport block onto a [nsym, nsc] (or [port, ...]) grid.
 
     w: optional [nof_ports, nof_layers] precoding matrix (identity layer→
-    port mapping when None).
+    port mapping when None).  pilots: optional traced DM-RS reference
+    (slot-independent compiled programs — see pusch_demodulate).
     """
     codeword = _encode_sch(tb_bits, cfg, encoder_backend)
-    return _scramble_modulate_map(codeword, cfg, grid, w=w)
+    return _scramble_modulate_map(codeword, cfg, grid, w=w, pilots=pilots)
 
 
 def pusch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
                    ack_bits: jnp.ndarray | None = None,
                    csi1_bits: jnp.ndarray | None = None,
                    csi2_bits: jnp.ndarray | None = None,
-                   encoder_backend: str = "auto") -> jnp.ndarray:
+                   encoder_backend: str = "auto",
+                   pilots: jnp.ndarray | None = None) -> jnp.ndarray:
     """UL-SCH transmit with UCI multiplexing (UE-side / loopback TX).
 
     Mirrors pusch_processor semantics in reverse: data and encoded UCI
@@ -473,7 +477,7 @@ def pusch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
     """
     sch_bits = _encode_sch(tb_bits, cfg, encoder_backend)
     if not cfg.uci.any:
-        return _scramble_modulate_map(sch_bits, cfg, grid)
+        return _scramble_modulate_map(sch_bits, cfg, grid, pilots=pilots)
     u = cfg.uci
     empty = jnp.zeros((0,), jnp.int8)
     ack = (ulsch.encode_uci_field(ack_bits, u.nof_harq_ack_bits,
@@ -486,7 +490,7 @@ def pusch_transmit(tb_bits: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
                                    len(cfg.uci_maps["csi2"]), cfg.qm)
             if u.nof_csi_part2_bits else empty)
     codeword = ulsch.multiplex(sch_bits, ack, csi1, csi2, cfg.uci_maps_key)
-    return _scramble_modulate_map(codeword, cfg, grid)
+    return _scramble_modulate_map(codeword, cfg, grid, pilots=pilots)
 
 
 @dataclasses.dataclass
@@ -552,12 +556,18 @@ class PuschDemod:
         return (self.llr_full, self.noise_var, self.rsrp)[i]
 
 
-def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
+def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig,
+                     tx_pilots: jnp.ndarray | None = None) -> PuschDemod:
     """Front half of the PUSCH receiver: grid → per-codeblock LLRs + UCI.
 
     The HARQ softbuffer combines llr_full across retransmissions before
     decoding (pusch_decode).  UCI field LLRs are demultiplexed per
     TS 38.212 §6.2.7 (pusch_processor_impl.cpp:259-279).
+
+    tx_pilots: optional traced DM-RS reference ([ndmrs, 6*nof_prb],
+    dmrs.pilot_values) — lets fused slot programs keep the slot number
+    OUT of the compiled shape (slot_programs.py passes the per-slot
+    cinit-derived pilots as data; default regenerates from cfg).
     """
     if rx_grid.ndim == 2:
         rx_grid = rx_grid[None]
@@ -571,7 +581,8 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig) -> PuschDemod:
 
     # --- channel estimation from DM-RS (structured comb-2: slices only)
     lo, hi = cfg.sc_bounds
-    tx_pilots = _dmrs_pilots(cfg)
+    if tx_pilots is None:
+        tx_pilots = _dmrs_pilots(cfg)
     rx_pilots = jnp.stack(
         [rx_grid[..., l, lo:hi][..., 0::2] for l in cfg.dmrs_symbols],
         axis=-2)                                          # [nrx, ndmrs, npil]
@@ -712,6 +723,18 @@ def pusch_decode(llr_full: jnp.ndarray, cfg: ShConfig,
         bits, ok = decoder.decode(llr_full, seg.base_graph, seg.lifting_size,
                                   nof_iterations=nof_ldpc_iterations,
                                   nof_used_blocks=n_used)
+    return pusch_finish(bits, ok, cfg, noise_var, rsrp, demod)
+
+
+def pusch_finish(bits: jnp.ndarray, ok: jnp.ndarray, cfg: ShConfig,
+                 noise_var: jnp.ndarray, rsrp: jnp.ndarray,
+                 demod: PuschDemod | None = None) -> PuschResult:
+    """Decoded codeblock bits → PuschResult (desegment + CRC + SINR + UCI).
+
+    Split out of pusch_decode so fused slot programs can batch the LDPC
+    decode ACROSS a slot's PDUs (phy/upper/slot_programs.py) and still
+    share the result assembly."""
+    seg = cfg.segments
     tb, tb_ok, cb_ok = segmentation.desegment_rx(bits, seg)
     tb_ok = tb_ok & jnp.all(ok)
     # Post-equalization SINR (EVM→SINR analogue, pusch_processor_impl.cpp):
@@ -741,14 +764,27 @@ def pusch_decode(llr_full: jnp.ndarray, cfg: ShConfig,
     return res
 
 
+def llr_full_shape(cfg: ShConfig) -> tuple[int, int]:
+    """Shape of PuschDemod.llr_full ([C codeblocks, N full buffer]) for a
+    config — the HARQ softbuffer reservation size (the reference sizes
+    rx_softbuffer codeblock pools the same way,
+    rx_softbuffer_pool_impl.h:37-67).  N spans the full codeword INCLUDING
+    the 2·Zc punctured systematic prefix (rate_match.dematch_tb zeroes
+    it), i.e. 68·Zc / 52·Zc."""
+    seg = cfg.segments
+    return (seg.nof_segments,
+            seg.full_codeblock_length + 2 * seg.lifting_size)
+
+
 def pusch_receive(rx_grid: jnp.ndarray, cfg: ShConfig,
                   nof_ldpc_iterations: int = 6,
-                  decoder_backend: str = "auto") -> PuschResult:
+                  decoder_backend: str = "auto",
+                  tx_pilots: jnp.ndarray | None = None) -> PuschResult:
     """Full PUSCH receiver (single transmission, no HARQ combining).
 
     decoder_backend: "pallas" (TPU kernel), "xla", or "auto" (pallas on
     TPU, xla elsewhere).
     """
-    d = pusch_demodulate(rx_grid, cfg)
+    d = pusch_demodulate(rx_grid, cfg, tx_pilots=tx_pilots)
     return pusch_decode(d.llr_full, cfg, d.noise_var, d.rsrp,
                         nof_ldpc_iterations, decoder_backend, demod=d)

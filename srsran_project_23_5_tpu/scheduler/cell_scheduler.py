@@ -271,17 +271,28 @@ class CellScheduler:
         return res
 
     # ---------------------------------------------------- link adaptation
+    def _mcs_bucket(self, mcs: int) -> int:
+        """Largest mcs_bucket ≤ the CQI-ideal MCS (never exceeds the
+        channel's rate; bounds the compiled PHY shape set)."""
+        out = self.cfg.mcs_buckets[0]
+        for b in self.cfg.mcs_buckets:
+            if b <= mcs:
+                out = b
+        return out
+
     def _dl_mcs(self, ue: UeContext) -> int:
         """CQI-driven MCS; fixed config value until the first report."""
         if ue.cqi:
-            return mcs_tables.cqi_to_mcs(ue.cqi, self.cfg.mcs_table)
+            return self._mcs_bucket(
+                mcs_tables.cqi_to_mcs(ue.cqi, self.cfg.mcs_table))
         return self.cfg.fixed_dl_mcs
 
     def _ul_mcs(self, ue: UeContext) -> int:
         if ue.ul_sinr_db is not None:
             cqi = mcs_tables.sinr_to_cqi(ue.ul_sinr_db)
             if cqi:
-                return mcs_tables.cqi_to_mcs(cqi, self.cfg.mcs_table)
+                return self._mcs_bucket(
+                    mcs_tables.cqi_to_mcs(cqi, self.cfg.mcs_table))
         return self.cfg.fixed_ul_mcs
 
     # ------------------------------------------------------------- PDCCH

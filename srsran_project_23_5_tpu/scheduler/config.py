@@ -83,6 +83,12 @@ class CellConfig:
     # to one of a few compiled PHY shapes (SURVEY §7: bucketing+padding
     # replaces the reference's dynamic per-PDU dispatch).
     prb_buckets: tuple = (2, 4, 8, 16, 32, 64, 106, 162, 273)
+    # Link adaptation quantizes CQI-derived MCS DOWN to these buckets:
+    # every (mcs, prb_bucket) pair is one compiled PHY shape, so the MCS
+    # ladder bounds the program set the same way prb_buckets does (raw
+    # 0..28 MCS churned a fresh fused slot program whenever a SINR report
+    # wobbled by 1 CQI).
+    mcs_buckets: tuple = (0, 2, 5, 9, 14, 19, 24, 28)
 
     @property
     def slots_per_frame(self) -> int:

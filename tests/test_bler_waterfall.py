@@ -19,6 +19,7 @@ from srsran_project_23_5_tpu.models import gnb_flagship
 from srsran_project_23_5_tpu.phy.lower import ofdm
 from srsran_project_23_5_tpu.phy.upper import sch
 from srsran_project_23_5_tpu.ran import numerology, tbs as tbs_mod
+from srsran_project_23_5_tpu.testing import channels
 
 N_SLOTS = 8
 
@@ -88,3 +89,51 @@ def test_sinr_calibration_high_snr():
     ok, sinr = _run(step, cfg, 25.0, seed=7)
     assert ok.all()
     assert abs(float(sinr.mean()) - 25.0) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# frequency-selective operating point (VERDICT r4 next #5): same chain
+# through a deterministic 3-tap channel applied at BASEBAND — per-RE |H|
+# varies by ~8 dB across the allocation, so the LS estimator's frequency
+# interpolation and the per-RE ZF/noise weighting are load-bearing, and
+# the demod window rides the CP margin (rx_window_offset).
+TDL_DELAYS, TDL_GAINS = channels.normalize_taps((0, 12, 30),
+                                                (0.0, -8.0, -16.0))
+
+
+def _tdl_step(cfg):
+    ss = numerology.slot_num_samples(cfg.mu, cfg.nfft)
+
+    def slot(tb, key, sigma):
+        bb = gnb_flagship.tx_slot(tb, cfg)
+        rx = channels.tdl_apply(bb, TDL_DELAYS, TDL_GAINS)
+        nz = sigma / np.sqrt(2) * jax.random.normal(key, (2, ss), jnp.float32)
+        g = ofdm.demodulate_slot(rx + jax.lax.complex(nz[0], nz[1]),
+                                 cfg.nsc, cfg.mu, cfg.nfft,
+                                 rx_window_offset=0.25)
+        res = sch.pusch_receive(g[None], cfg.sh, 8, decoder_backend="xla")
+        return res.tb_crc_ok, res.sinr_db
+
+    return jax.jit(jax.vmap(slot, in_axes=(0, 0, None)))
+
+
+def test_waterfall_selective_channel():
+    """16QAM r0.5 under the 3-tap channel: the cliff sits ≈1 dB above the
+    flat-channel 8 dB point (characterized 2026-08 r5: 8.0 dB → 0/8
+    decode, 9.0 dB → 8/8; the per-RE noise weighting keeps the selective
+    penalty at ~1 dB while measured post-eq SINR runs ~2 dB below the
+    injected SNR).  A regression in the estimator's frequency
+    interpolation or the per-RE equalization collapses the clear point."""
+    cliff = 9.0
+    cfg = _carrier(4, 0.5)
+    step = _tdl_step(cfg)
+    ok_below, _ = _run(step, cfg, cliff - 2.0, seed=411)
+    ok_clear, sinr = _run(step, cfg, cliff + 2.0, seed=412)
+    assert ok_below.mean() <= 0.25, (
+        f"decodes {ok_below.mean():.2f} at {cliff - 2.0} dB under delay "
+        f"spread — selective penalty vanished (channel not applied?)")
+    assert ok_clear.all(), (
+        f"failures at {cliff + 2.0} dB under delay spread — estimator "
+        f"frequency-interpolation / per-RE equalization regressed")
+    # measured post-eq SINR reflects the selective loss (~2 dB)
+    assert (cliff - 1.5) < float(sinr.mean()) < (cliff + 1.5), sinr.mean()

@@ -59,6 +59,28 @@ def test_mixed_slot_ue_full_decode():
     assert bool(out["dl0_ok"]) and bool(out["dl1_ok"])
 
 
+def test_mixed_slot_frequency_selective():
+    """Delay-spread variant (VERDICT r4 next #5): the same mixed slot
+    through a 3-tap TDL-like channel applied at BASEBAND — the channel
+    estimator's frequency interpolation and the per-RE equalizer now see
+    a frequency-SELECTIVE response, and the time-domain PRACH occasion
+    rides the same dispersive baseband.  All channels must still verify
+    at the (power-normalized) operating point."""
+    jax.clear_caches()     # XLA:CPU faults on accumulated giant compiles
+    cfg = gnb_mixed.tdl_channel(gnb_mixed.tiny_mixed(snr_db=25.0),
+                                delays=(0, 3, 7),
+                                gains_db=(0.0, -4.0, -8.0))
+    rng = np.random.default_rng(5)
+    payloads = gnb_mixed.make_payloads(cfg, rng)
+    fn = jax.jit(lambda p, k: gnb_mixed.mixed_slot_dict(p, k, cfg))
+    out = {k: np.asarray(v) for k, v in fn(payloads,
+                                           jax.random.PRNGKey(2)).items()}
+    assert out["ul0_ok"] and out["ul1_ok"], (
+        "PUSCH under delay spread failed", out)
+    assert out["pucch_ok"] and out["prach_ok"], out
+    assert out["ok"], out
+
+
 def test_mixed_slot_negatives():
     """The in-program verifications are not vacuous: absent signals are
     not detected (PUCCH DTX, no-PRACH), and a corrupted codeword fails
