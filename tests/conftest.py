@@ -9,9 +9,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+# XLA:CPU compile time dominates the suite (the mixed-slot program alone
+# costs ~35 s at the default optimization level).  The unit suite checks
+# CORRECTNESS — turning the backend optimizer off cuts the wall clock by
+# ~40% (mixed-slot file: 88 s -> 55 s) with identical results.  Opt out
+# (e.g. for CPU perf probes) with TPU_RAN_TEST_XLA_OPT=1.
+if ("xla_backend_optimization_level" not in flags
+        and not os.environ.get("TPU_RAN_TEST_XLA_OPT")):
+    flags = flags + " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import resource
 

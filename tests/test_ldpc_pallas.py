@@ -10,10 +10,13 @@ from srsran_project_23_5_tpu.ops.ldpc import (
 
 @pytest.mark.parametrize("bg,zc", [pytest.param(1, 32, marks=pytest.mark.slow), (2, 32)])
 def test_pallas_matches_xla_decoder(bg, zc):
+    # batch 6 is deliberately NOT a multiple of the 8-row tile: the same
+    # interpret-mode run covers decoder parity AND the padding path the
+    # mixed slot leans on (C=17 -> 24)
     rng = np.random.default_rng(0)
     g = graphs.lifted_graph(bg, zc)
     k = g.nof_msg_blocks * zc
-    msg = rng.integers(0, 2, size=(8, k)).astype(np.int8)
+    msg = rng.integers(0, 2, size=(6, k)).astype(np.int8)
     cw = np.asarray(encoder.encode(jnp.asarray(msg), bg, zc))
     sigma = 10 ** (-4.0 / 20)
     llr = 2.0 * ((1 - 2 * cw.astype(np.float32))
@@ -23,26 +26,11 @@ def test_pallas_matches_xla_decoder(bg, zc):
     b_x, ok_x = decoder.decode(jnp.asarray(llr), bg, zc, 4)
     b_p, ok_p = decoder_pallas.decode(jnp.asarray(llr), bg, zc, 4,
                                       interpret=True)
+    assert b_p.shape == (6, k) and ok_p.shape == (6,)
     assert np.array_equal(np.asarray(ok_x), np.asarray(ok_p))
     assert np.array_equal(np.asarray(b_x), np.asarray(b_p))
     assert np.asarray(ok_p).all()
     assert np.array_equal(np.asarray(b_p), msg)
-
-
-def test_pallas_pads_nonmultiple_batch():
-    rng = np.random.default_rng(1)
-    bg, zc = 2, 16
-    g = graphs.lifted_graph(bg, zc)
-    k = g.nof_msg_blocks * zc
-    msg = rng.integers(0, 2, size=(3, k)).astype(np.int8)
-    cw = np.asarray(encoder.encode(jnp.asarray(msg), bg, zc))
-    llr = 8.0 * (1.0 - 2.0 * cw.astype(np.float32))
-    llr[:, :2 * zc] = 0.0
-    bits, ok = decoder_pallas.decode(jnp.asarray(llr), bg, zc, 2,
-                                     interpret=True)
-    assert bits.shape == (3, k) and ok.shape == (3,)
-    assert np.asarray(ok).all()
-    assert np.array_equal(np.asarray(bits), msg)
 
 
 @pytest.mark.parametrize("bg,zc", [pytest.param(1, 32, marks=pytest.mark.slow), (2, 24)])
