@@ -69,7 +69,7 @@ class CuCp:
             on_active=lambda r, c=cue: self._on_rrc_active(c)))
         self.ues[cue] = ue
         self.log.info("initial UL RRC for cue={}", cue)
-        setup_req = asn1.decode(msg.rrc_container)
+        setup_req = rrc.decode_setup_request(msg.rrc_container)
         ue.rrc_ue.handle_setup_request(setup_req)
         # after RRCSetup, DL-DCCH flows on SRB1
         ue.rrc_ue._send_dl = lambda cont, c=cue: self.f1ap.dl_rrc(c, 1, cont)

@@ -10,18 +10,18 @@ from typing import Callable
 from .. import asn1
 
 
-@asn1.message(0x401)
+@asn1.message(0x401, proc=3)
 class CuUpE1SetupRequest:
     cu_up_id: int = 1
     cu_up_name: str = "tpu-cu-up"
 
 
-@asn1.message(0x402)
+@asn1.message(0x402, proc=3, kind="successful")
 class CuUpE1SetupResponse:
     cu_cp_name: str = "tpu-cu-cp"
 
 
-@asn1.message(0x403)
+@asn1.message(0x403, proc=8)
 class BearerContextSetupRequest:
     cu_cp_ue_id: int = 0
     security_key: bytes = b""
@@ -29,26 +29,26 @@ class BearerContextSetupRequest:
     # each entry: encoded BearerSessionItem
 
 
-@asn1.message(0x404)
+@asn1.message(0x404, proc=8, kind="successful")
 class BearerContextSetupResponse:
     cu_cp_ue_id: int = 0
     cu_up_ue_id: int = 0
     ng_dl_teids: list = dataclasses.field(default_factory=list)
 
 
-@asn1.message(0x405)
+@asn1.message(0x405, proc=11)
 class BearerContextReleaseCommand:
     cu_cp_ue_id: int = 0
     cu_up_ue_id: int = 0
 
 
-@asn1.message(0x406)
+@asn1.message(0x406, proc=11, kind="successful")
 class BearerContextReleaseComplete:
     cu_cp_ue_id: int = 0
     cu_up_ue_id: int = 0
 
 
-@asn1.message(0x407)
+@asn1.message(0x407, proc=200)
 class BearerSessionItem:
     session_id: int = 1
     drb_id: int = 1

@@ -12,20 +12,20 @@ from typing import Callable, Optional
 from .. import asn1
 
 
-@asn1.message(0x201)
+@asn1.message(0x201, proc=1)
 class F1SetupRequest:
     gnb_du_id: int = 0
     gnb_du_name: str = "du"
     served_cells: list = dataclasses.field(default_factory=list)  # pci list
 
 
-@asn1.message(0x202)
+@asn1.message(0x202, proc=1, kind="successful")
 class F1SetupResponse:
     gnb_cu_name: str = "cu-cp"
     cells_to_activate: list = dataclasses.field(default_factory=list)
 
 
-@asn1.message(0x203)
+@asn1.message(0x203, proc=11)
 class InitialUlRrcMessageTransfer:
     gnb_du_ue_id: int = 0
     c_rnti: int = 0
@@ -33,7 +33,7 @@ class InitialUlRrcMessageTransfer:
     rrc_container: bytes = b""        # CCCH (RRCSetupRequest)
 
 
-@asn1.message(0x204)
+@asn1.message(0x204, proc=12)
 class DlRrcMessageTransfer:
     gnb_cu_ue_id: int = 0
     gnb_du_ue_id: int = 0
@@ -41,7 +41,7 @@ class DlRrcMessageTransfer:
     rrc_container: bytes = b""
 
 
-@asn1.message(0x205)
+@asn1.message(0x205, proc=13)
 class UlRrcMessageTransfer:
     gnb_cu_ue_id: int = 0
     gnb_du_ue_id: int = 0
@@ -49,7 +49,7 @@ class UlRrcMessageTransfer:
     rrc_container: bytes = b""
 
 
-@asn1.message(0x206)
+@asn1.message(0x206, proc=5)
 class UeContextSetupRequest:
     gnb_cu_ue_id: int = 0
     gnb_du_ue_id: int = 0
@@ -57,27 +57,27 @@ class UeContextSetupRequest:
     drbs_to_setup: list = dataclasses.field(default_factory=list)  # DrbItem
 
 
-@asn1.message(0x207)
+@asn1.message(0x207, proc=5, kind="successful")
 class UeContextSetupResponse:
     gnb_cu_ue_id: int = 0
     gnb_du_ue_id: int = 0
     drbs_setup: list = dataclasses.field(default_factory=list)
 
 
-@asn1.message(0x208)
+@asn1.message(0x208, proc=6)
 class UeContextReleaseCommand:
     gnb_cu_ue_id: int = 0
     gnb_du_ue_id: int = 0
     cause: str = "normal"
 
 
-@asn1.message(0x209)
+@asn1.message(0x209, proc=6, kind="successful")
 class UeContextReleaseComplete:
     gnb_cu_ue_id: int = 0
     gnb_du_ue_id: int = 0
 
 
-@asn1.message(0x20A)
+@asn1.message(0x20A, proc=200)
 class DrbItem:
     drb_id: int = 1
     lcid: int = 4

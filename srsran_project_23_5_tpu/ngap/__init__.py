@@ -11,7 +11,7 @@ from typing import Callable
 from .. import asn1
 
 
-@asn1.message(0x301)
+@asn1.message(0x301, proc=21)
 class NgSetupRequest:
     gnb_id: int = 1
     ran_node_name: str = "tpu-gnb"
@@ -19,14 +19,14 @@ class NgSetupRequest:
     tac: int = 7
 
 
-@asn1.message(0x302)
+@asn1.message(0x302, proc=21, kind="successful")
 class NgSetupResponse:
     amf_name: str = "amf"
     served_guami: int = 0
     relative_capacity: int = 255
 
 
-@asn1.message(0x303)
+@asn1.message(0x303, proc=15)
 class InitialUeMessage:
     ran_ue_id: int = 0
     nas_pdu: bytes = b""
@@ -34,21 +34,21 @@ class InitialUeMessage:
     tac: int = 7
 
 
-@asn1.message(0x304)
+@asn1.message(0x304, proc=4)
 class DownlinkNasTransport:
     amf_ue_id: int = 0
     ran_ue_id: int = 0
     nas_pdu: bytes = b""
 
 
-@asn1.message(0x305)
+@asn1.message(0x305, proc=46)
 class UplinkNasTransport:
     amf_ue_id: int = 0
     ran_ue_id: int = 0
     nas_pdu: bytes = b""
 
 
-@asn1.message(0x306)
+@asn1.message(0x306, proc=14)
 class InitialContextSetupRequest:
     amf_ue_id: int = 0
     ran_ue_id: int = 0
@@ -57,40 +57,40 @@ class InitialContextSetupRequest:
     nas_pdu: bytes = b""
 
 
-@asn1.message(0x307)
+@asn1.message(0x307, proc=14, kind="successful")
 class InitialContextSetupResponse:
     amf_ue_id: int = 0
     ran_ue_id: int = 0
 
 
-@asn1.message(0x308)
+@asn1.message(0x308, proc=29)
 class PduSessionResourceSetupRequest:
     amf_ue_id: int = 0
     ran_ue_id: int = 0
     sessions: list = dataclasses.field(default_factory=list)  # PduSessionItem
 
 
-@asn1.message(0x309)
+@asn1.message(0x309, proc=29, kind="successful")
 class PduSessionResourceSetupResponse:
     amf_ue_id: int = 0
     ran_ue_id: int = 0
     sessions_setup: list = dataclasses.field(default_factory=list)
 
 
-@asn1.message(0x30A)
+@asn1.message(0x30A, proc=41)
 class UeContextReleaseCommand:
     amf_ue_id: int = 0
     ran_ue_id: int = 0
     cause: str = "normal"
 
 
-@asn1.message(0x30B)
+@asn1.message(0x30B, proc=41, kind="successful")
 class UeContextReleaseComplete:
     amf_ue_id: int = 0
     ran_ue_id: int = 0
 
 
-@asn1.message(0x30C)
+@asn1.message(0x30C, proc=200)
 class PduSessionItem:
     session_id: int = 1
     qfi: int = 9

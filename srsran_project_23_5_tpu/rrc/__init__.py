@@ -82,6 +82,66 @@ class DrbConfig:
     qfi: int = 9
 
 
+# ------------------------------------------------- 38.331 wire codec
+# The dataclasses above are the in-framework API; on the wire every
+# message is the EXACT TS 38.331 UNALIGNED-PER encoding produced by
+# `messages_38331` (CCCH on SRB0, DCCH on SRB1) — e.g. the
+# RRCSetupRequest below is the canonical 6-octet Msg3 payload.
+from . import messages_38331 as m38331  # noqa: E402
+
+
+def _id39(identity: bytes) -> tuple[int, int]:
+    return (int.from_bytes(identity, "big") & ((1 << 39) - 1), 39)
+
+
+def encode_setup_request(msg: RrcSetupRequest) -> bytes:
+    return m38331.encode_ul_ccch("rrcSetupRequest", {
+        "rrcSetupRequest": {
+            "ue-Identity": ("randomValue", _id39(msg.ue_identity)),
+            "establishmentCause": msg.establishment_cause,
+            "spare": (0, 1)}})
+
+
+def decode_setup_request(data: bytes) -> RrcSetupRequest:
+    alt, body = m38331.decode_ul_ccch(data)
+    if alt != "rrcSetupRequest":
+        raise ValueError(f"unexpected UL-CCCH message {alt}")
+    ies = body["rrcSetupRequest"]
+    val, _n = ies["ue-Identity"][1]
+    return RrcSetupRequest(val.to_bytes(5, "big"),
+                           ies["establishmentCause"])
+
+
+def _drb_to_add_mod(d: DrbConfig, default: bool) -> dict:
+    sn = f"len{d.pdcp_sn_size}bits"
+    return {
+        "cnAssociation": ("sdap-Config", {
+            "pdu-Session": 1, "sdap-HeaderDL": "absent",
+            "sdap-HeaderUL": "absent", "defaultDRB": default,
+            "mappedQoS-FlowsToAdd": [d.qfi]}),
+        "drb-Identity": d.drb_id,
+        "pdcp-Config": {"drb": {
+            "pdcp-SN-SizeUL": sn, "pdcp-SN-SizeDL": sn,
+            "headerCompression": ("notUsed", {})}},
+    }
+
+
+def _drb_from_add_mod(item: dict, cell_group: dict) -> DrbConfig:
+    drb_id = item["drb-Identity"]
+    lcid = next(
+        (b["logicalChannelIdentity"]
+         for b in cell_group.get("rlc-BearerToAddModList", ())
+         if b.get("servedRadioBearer") == ("drb-Identity", drb_id)),
+        4)
+    qfi = 9
+    if item.get("cnAssociation", ("", 0))[0] == "sdap-Config":
+        qfi = item["cnAssociation"][1].get("mappedQoS-FlowsToAdd", [9])[0]
+    sn = item.get("pdcp-Config", {}).get("drb", {}).get(
+        "pdcp-SN-SizeUL", "len12bits")
+    return DrbConfig(drb_id=drb_id, lcid=lcid,
+                     pdcp_sn_size=int(sn[3:-4]), qfi=qfi)
+
+
 # -------------------------------------------------------------- gNB FSM
 class RrcUeState:
     IDLE = "idle"
@@ -120,8 +180,19 @@ class RrcUe:
     # -------------------------------------------------------- procedures
     def handle_setup_request(self, msg: RrcSetupRequest) -> None:
         self.ue_identity = msg.ue_identity
-        self._send_dl(asn1.encode(RrcSetup(self._next_transaction(),
-                                           b"srb1")))
+        # DL-CCCH RRCSetup: SRB1 with default PDCP + the CellGroupConfig
+        # container binding SRB1 to LCID 1 (38.331 §5.3.3.4)
+        cg = m38331.encode_cell_group({
+            "cellGroupId": 0,
+            "rlc-BearerToAddModList": [{
+                "logicalChannelIdentity": 1,
+                "servedRadioBearer": ("srb-Identity", 1)}]})
+        self._send_dl(m38331.encode_dl_ccch("rrcSetup", {
+            "rrc-TransactionIdentifier": self._next_transaction(),
+            "criticalExtensions": ("ies", {
+                "radioBearerConfig": {
+                    "srb-ToAddModList": [{"srb-Identity": 1}]},
+                "masterCellGroup": cg})}))
         self.state = RrcUeState.SETUP_SENT
 
     def start_security(self, k_gnb: bytes, ciphering: int = 2,
@@ -129,33 +200,55 @@ class RrcUe:
         self.security_ctx = sec.SecurityContext(
             k_gnb, sec.CipheringAlgorithm(ciphering),
             sec.IntegrityAlgorithm(integrity))
-        self._send_dl(asn1.encode(RrcSecurityModeCommand(
-            self._next_transaction(), ciphering, integrity)))
+        self._send_dl(m38331.encode_dl_dcch("securityModeCommand", {
+            "rrc-TransactionIdentifier": self._next_transaction(),
+            "criticalExtensions": ("ies", {
+                "securityConfigSMC": {"securityAlgorithmConfig": {
+                    "cipheringAlgorithm": f"nea{ciphering}",
+                    "integrityProtAlgorithm": f"nia{integrity}"}}})}))
         self.state = RrcUeState.SMC_SENT
 
     def reconfigure(self, drbs: list, nas: list | None = None) -> None:
         self.pending_drbs = drbs
-        self._send_dl(asn1.encode(RrcReconfiguration(
-            self._next_transaction(), [asn1.encode(d) for d in drbs],
-            nas or [])))
+        cg = m38331.encode_cell_group({
+            "cellGroupId": 0,
+            "rlc-BearerToAddModList": [{
+                "logicalChannelIdentity": d.lcid,
+                "servedRadioBearer": ("drb-Identity", d.drb_id)}
+                for d in drbs]})
+        ext: dict = {"masterCellGroup": cg}
+        if nas:
+            ext["dedicatedNAS-MessageList"] = list(nas)
+        self._send_dl(m38331.encode_dl_dcch("rrcReconfiguration", {
+            "rrc-TransactionIdentifier": self._next_transaction(),
+            "criticalExtensions": ("ies", {
+                "radioBearerConfig": {"drb-ToAddModList": [
+                    _drb_to_add_mod(d, i == 0)
+                    for i, d in enumerate(drbs)]},
+                "nonCriticalExtension": ext})}))
         self.state = RrcUeState.RECONFIG_SENT
 
     def send_dl_nas(self, nas: bytes) -> None:
-        self._send_dl(asn1.encode(RrcDlInformationTransfer(nas)))
+        self._send_dl(m38331.encode_dl_dcch("dlInformationTransfer", {
+            "rrc-TransactionIdentifier": self._next_transaction(),
+            "criticalExtensions": ("ies", {
+                "dedicatedNAS-Message": nas})}))
 
     def handle_ul_message(self, data: bytes) -> None:
-        msg = asn1.decode(data)
-        if isinstance(msg, RrcSetupComplete):
+        alt, body = m38331.decode_ul_dcch(data)
+        if alt == "rrcSetupComplete":
+            _, ies = body["criticalExtensions"]
             self.state = RrcUeState.CONNECTED
-            self.setup_complete_nas = msg.dedicated_nas_message
-            self._on_nas_ul(msg.dedicated_nas_message)
-        elif isinstance(msg, RrcSecurityModeComplete):
+            self.setup_complete_nas = ies["dedicatedNAS-Message"]
+            self._on_nas_ul(self.setup_complete_nas)
+        elif alt == "securityModeComplete":
             self.state = RrcUeState.SECURE
-        elif isinstance(msg, RrcReconfigurationComplete):
+        elif alt == "rrcReconfigurationComplete":
             self.state = RrcUeState.ACTIVE
             self._on_active(self)
-        elif isinstance(msg, RrcUlInformationTransfer):
-            self._on_nas_ul(msg.nas_message)
+        elif alt == "ulInformationTransfer":
+            _, ies = body["criticalExtensions"]
+            self._on_nas_ul(ies.get("dedicatedNAS-Message", b""))
 
 
 class RrcUeSide:
@@ -171,27 +264,53 @@ class RrcUeSide:
         self.nas_rx: list[bytes] = []
 
     def connect(self, ue_identity: bytes, nas: bytes = b"") -> bytes:
-        """Returns the CCCH RRCSetupRequest payload for Msg3."""
+        """Returns the CCCH RRCSetupRequest payload for Msg3 — the
+        canonical 6-octet 38.331 UPER encoding."""
         self._pending_nas = nas
-        return asn1.encode(RrcSetupRequest(ue_identity, "mo-Data"))
+        return encode_setup_request(RrcSetupRequest(ue_identity, "mo-Data"))
 
     def handle_dl_message(self, data: bytes) -> None:
-        msg = asn1.decode(data)
-        if isinstance(msg, RrcSetup):
+        # SRB0 (pre-connection) carries DL-CCCH; SRB1 carries DL-DCCH
+        if self.state == RrcUeState.IDLE:
+            alt, body = m38331.decode_dl_ccch(data)
+            if alt != "rrcSetup":
+                return
             self.state = RrcUeState.CONNECTED
-            self._send_ul(asn1.encode(RrcSetupComplete(
-                msg.transaction_id, 1, getattr(self, "_pending_nas", b""))))
-        elif isinstance(msg, RrcSecurityModeCommand):
-            self.ciphering = msg.ciphering_algorithm
-            self.integrity = msg.integrity_algorithm
+            self._send_ul(m38331.encode_ul_dcch("rrcSetupComplete", {
+                "rrc-TransactionIdentifier":
+                    body["rrc-TransactionIdentifier"],
+                "criticalExtensions": ("ies", {
+                    "selectedPLMN-Identity": 1,
+                    "dedicatedNAS-Message":
+                        getattr(self, "_pending_nas", b"")})}))
+            return
+        alt, body = m38331.decode_dl_dcch(data)
+        if alt == "securityModeCommand":
+            _, ies = body["criticalExtensions"]
+            alg = ies["securityConfigSMC"]["securityAlgorithmConfig"]
+            self.ciphering = int(alg["cipheringAlgorithm"][3:])
+            self.integrity = int(alg["integrityProtAlgorithm"][3:])
             self.state = RrcUeState.SECURE
-            self._send_ul(asn1.encode(RrcSecurityModeComplete(
-                msg.transaction_id)))
-        elif isinstance(msg, RrcReconfiguration):
-            self.drbs = [asn1.decode(d) for d in msg.drb_configs]
-            self.nas_rx.extend(msg.nas_messages)
+            self._send_ul(m38331.encode_ul_dcch("securityModeComplete", {
+                "rrc-TransactionIdentifier":
+                    body["rrc-TransactionIdentifier"],
+                "criticalExtensions": ("ies", {})}))
+        elif alt == "rrcReconfiguration":
+            _, ies = body["criticalExtensions"]
+            ext = ies.get("nonCriticalExtension", {})
+            cg = m38331.decode_cell_group(ext["masterCellGroup"]) \
+                if "masterCellGroup" in ext else {}
+            self.drbs = [
+                _drb_from_add_mod(item, cg)
+                for item in ies.get("radioBearerConfig", {}).get(
+                    "drb-ToAddModList", ())]
+            self.nas_rx.extend(ext.get("dedicatedNAS-MessageList", ()))
             self.state = RrcUeState.ACTIVE
-            self._send_ul(asn1.encode(RrcReconfigurationComplete(
-                msg.transaction_id)))
-        elif isinstance(msg, RrcDlInformationTransfer):
-            self.nas_rx.append(msg.nas_message)
+            self._send_ul(m38331.encode_ul_dcch(
+                "rrcReconfigurationComplete", {
+                    "rrc-TransactionIdentifier":
+                        body["rrc-TransactionIdentifier"],
+                    "criticalExtensions": ("ies", {})}))
+        elif alt == "dlInformationTransfer":
+            _, ies = body["criticalExtensions"]
+            self.nas_rx.append(ies.get("dedicatedNAS-Message", b""))
