@@ -378,23 +378,31 @@ class PhyLoop:
             grid = _ue_pucch_f1_tx_fn(cfg)(jnp.ones((1,), jnp.int8), grid)
             self.stats["pucch_ack_tx"] += 1
             active = True
-        if ue.rnti is not None:
+        pc = getattr(getattr(ue, "rrc", None), "pucch_cfg", None)
+        if ue.rnti is not None and pc is not None:
+            # dedicated PUCCH resources delivered over RRC (DU-manager
+            # pool allocation; no formula re-derivation at the UE)
+            sr_cfg, csi_cfg = pc
             # ---- SR opportunity: transmit when UL data waits w/o grant
-            if (cell_cfg.is_sr_slot(self.cell, ue.rnti, slot)
+            if (self.cell.is_ul_slot(slot)
+                    and slot % sr_cfg["period_slots"] == sr_cfg["offset"]
                     and ue._ul_buffer() > 0
                     and not any(self._ue_ul_grants.values())):
-                prb, cs = cell_cfg.sr_resource(self.cell, ue.rnti)
                 cfg = pucch_proc.PucchF1Config(
-                    prb=prb, initial_cyclic_shift=cs,
+                    prb=sr_cfg["prb"],
+                    initial_cyclic_shift=sr_cfg["cs"],
                     slot_in_frame=slot % self.cell.slots_per_frame)
                 grid = _ue_pucch_f1_tx_fn(cfg)(jnp.ones((1,), jnp.int8),
                                                grid)
                 self.stats["sr_tx"] += 1
                 active = True
             # ---- periodic CSI on PUCCH F2
-            if cell_cfg.is_csi_report_slot(self.cell, ue.rnti, slot):
+            if (self.cell.is_ul_slot(slot)
+                    and slot % csi_cfg["period_slots"]
+                    == csi_cfg["offset"]):
                 f2 = pucch_proc.PucchF2Config(
-                    prb_start=1, nof_prb=1, rnti=ue.rnti,
+                    prb_start=csi_cfg["prb"],
+                    nof_prb=csi_cfg["nof_prb"], rnti=ue.rnti,
                     nof_uci_bits=self.cell.csi_report_bits,
                     slot_in_frame=slot % self.cell.slots_per_frame)
                 cqi_bits = jnp.asarray(

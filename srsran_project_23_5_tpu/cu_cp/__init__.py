@@ -70,7 +70,8 @@ class CuCp:
         self.ues[cue] = ue
         self.log.info("initial UL RRC for cue={}", cue)
         setup_req = rrc.decode_setup_request(msg.rrc_container)
-        ue.rrc_ue.handle_setup_request(setup_req)
+        ue.rrc_ue.handle_setup_request(
+            setup_req, du_cell_group=msg.du_to_cu_rrc_container)
         # after RRCSetup, DL-DCCH flows on SRB1
         ue.rrc_ue._send_dl = lambda cont, c=cue: self.f1ap.dl_rrc(c, 1, cont)
 

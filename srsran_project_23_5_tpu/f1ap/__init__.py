@@ -31,6 +31,10 @@ class InitialUlRrcMessageTransfer:
     c_rnti: int = 0
     pci: int = 0
     rrc_container: bytes = b""        # CCCH (RRCSetupRequest)
+    # DUtoCURRCContainer (TS 38.473 §9.3.1.25): the DU's CellGroupConfig
+    # (incl. its PUCCH resource allocation) for the CU to embed in
+    # RRCSetup's masterCellGroup
+    du_to_cu_rrc_container: bytes = b""
 
 
 @asn1.message(0x204, proc=12)
@@ -111,11 +115,12 @@ class F1apDu:
         return due
 
     def initial_ul_rrc(self, due: int, c_rnti: int, pci: int,
-                       rrc_container: bytes) -> None:
+                       rrc_container: bytes,
+                       du_to_cu_rrc_container: bytes = b"") -> None:
         """due must come from allocate_due_id() — the CU may answer
         synchronously, so the caller's UE context must exist first."""
         self._send(asn1.encode(InitialUlRrcMessageTransfer(
-            due, c_rnti, pci, rrc_container)))
+            due, c_rnti, pci, rrc_container, du_to_cu_rrc_container)))
 
     def ul_rrc(self, due: int, srb_id: int, container: bytes) -> None:
         cue = self.ue_ids.get(due, 0)

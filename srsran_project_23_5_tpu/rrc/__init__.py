@@ -178,11 +178,15 @@ class RrcUe:
         return self._transaction
 
     # -------------------------------------------------------- procedures
-    def handle_setup_request(self, msg: RrcSetupRequest) -> None:
+    def handle_setup_request(self, msg: RrcSetupRequest,
+                             du_cell_group: bytes = b"") -> None:
         self.ue_identity = msg.ue_identity
         # DL-CCCH RRCSetup: SRB1 with default PDCP + the CellGroupConfig
-        # container binding SRB1 to LCID 1 (38.331 §5.3.3.4)
-        cg = m38331.encode_cell_group({
+        # container binding SRB1 to LCID 1 (38.331 §5.3.3.4).  When the
+        # DU provided its CellGroupConfig (F1AP DUtoCURRCContainer, incl.
+        # the DU-allocated dedicated PUCCH resources) it is embedded
+        # VERBATIM — the CU does not re-derive DU-owned configuration.
+        cg = du_cell_group or m38331.encode_cell_group({
             "cellGroupId": 0,
             "rlc-BearerToAddModList": [{
                 "logicalChannelIdentity": 1,
@@ -262,6 +266,9 @@ class RrcUeSide:
         self.ciphering = 0
         self.integrity = 0
         self.nas_rx: list[bytes] = []
+        # dedicated PUCCH resources from RRCSetup's masterCellGroup
+        # (sr, csi) dicts — see m38331.parse_sp_cell_config
+        self.pucch_cfg: tuple | None = None
 
     def connect(self, ue_identity: bytes, nas: bytes = b"") -> bytes:
         """Returns the CCCH RRCSetupRequest payload for Msg3 — the
@@ -275,6 +282,11 @@ class RrcUeSide:
             alt, body = m38331.decode_dl_ccch(data)
             if alt != "rrcSetup":
                 return
+            _, setup_ies = body["criticalExtensions"]
+            cg = m38331.decode_cell_group(setup_ies["masterCellGroup"])
+            if "spCellConfig" in cg:
+                self.pucch_cfg = m38331.parse_sp_cell_config(
+                    cg["spCellConfig"])
             self.state = RrcUeState.CONNECTED
             self._send_ul(m38331.encode_ul_dcch("rrcSetupComplete", {
                 "rrc-TransactionIdentifier":

@@ -41,7 +41,12 @@ class _PrbAllocator:
 
 class CellScheduler:
     def __init__(self, cfg: CellConfig) -> None:
+        from ..du_manager.ran_resources import PucchResourceManager
         self.cfg = cfg
+        # pooled per-UE SR/CSI resources (du_manager ran-resource layer):
+        # allocated at UE creation, delivered to the UE over RRC, freed
+        # on UE removal — no formula re-derivation on either side
+        self.pucch_mgr = PucchResourceManager(cfg)
         self.ues: dict[int, UeContext] = {}
         self._rr_dl = 0                     # round-robin cursors
         self._rr_ul = 0
@@ -56,11 +61,18 @@ class CellScheduler:
 
     # ----------------------------------------------------------- UE mgmt
     def add_ue(self, rnti: int) -> UeContext:
+        from ..du_manager.ran_resources import ResourceExhausted
         ue = UeContext.create(rnti, self.cfg.nof_harqs, self.cfg.max_dl_retx)
+        try:
+            ue.pucch_alloc = self.pucch_mgr.alloc_ue(rnti)
+        except ResourceExhausted:
+            ue.pucch_alloc = None       # UE runs without SR/CSI resources
         self.ues[rnti] = ue
         return ue
 
     def remove_ue(self, rnti: int) -> None:
+        if rnti in self.ues:
+            self.pucch_mgr.free_ue(rnti)
         self.ues.pop(rnti, None)
 
     # ----------------------------------------------------- event handlers
@@ -203,14 +215,18 @@ class CellScheduler:
             # UEs (bottom-edge guard PRBs; F1 HARQ resources ride the top
             # edge — uci_allocator_impl.cpp resource partitioning)
             for rnti in sorted(self.ues):
-                if cell_cfg.is_sr_slot(self.cfg, rnti, slot):
-                    prb, cs = cell_cfg.sr_resource(self.cfg, rnti)
+                alloc = getattr(self.ues[rnti], "pucch_alloc", None)
+                if alloc is None:
+                    continue
+                if alloc.sr.is_opportunity(self.cfg, slot):
                     res.pucch.append(PucchGrant(
-                        rnti, prb, format=1, initial_cyclic_shift=cs,
+                        rnti, alloc.sr.resource.prb, format=1,
+                        initial_cyclic_shift=
+                        alloc.sr.resource.initial_cyclic_shift,
                         harq_pid=-1))          # -1 marks an SR resource
-                if cell_cfg.is_csi_report_slot(self.cfg, rnti, slot):
+                if alloc.csi.is_opportunity(self.cfg, slot):
                     res.pucch.append(PucchGrant(
-                        rnti, 1, format=2,
+                        rnti, alloc.csi.resource.prb_start, format=2,
                         nof_uci_bits=self.cfg.csi_report_bits))
         dl_alloc = _PrbAllocator(self.cfg.nof_prb)
         used_ul = sum(g.prb_len for g in res.ul_grants)

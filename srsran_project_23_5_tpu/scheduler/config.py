@@ -151,23 +151,7 @@ def pucch_f1_resource(cell: "CellConfig", idx: int) -> tuple[int, int]:
             PUCCH_F1_SHIFTS[idx % len(PUCCH_F1_SHIFTS)])
 
 
-def sr_resource(cell: "CellConfig", rnti: int) -> tuple[int, int]:
-    """SR opportunity resource: bottom-edge PRB 0, CS by RNTI.
-
-    UEs sharing an SR slot have RNTIs congruent mod sr_period_slots
-    (is_sr_slot), so the cyclic shift is derived from
-    rnti // sr_period_slots — consecutive same-slot UEs get distinct
-    shifts instead of colliding whenever their RNTIs differ by a
-    multiple of the period."""
-    return 0, PUCCH_F1_SHIFTS[(rnti // cell.sr_period_slots)
-                              % len(PUCCH_F1_SHIFTS)]
-
-
-def is_sr_slot(cell: "CellConfig", rnti: int, slot: int) -> bool:
-    return cell.is_ul_slot(slot) and (slot + rnti) % cell.sr_period_slots == 0
-
-
-def is_csi_report_slot(cell: "CellConfig", rnti: int, slot: int) -> bool:
-    return (cell.is_ul_slot(slot)
-            and (slot + rnti) % cell.csi_report_period_slots
-            == cell.csi_report_slot_offset)
+# SR/CSI opportunity resources are no longer formula-derived here: the
+# DU resource manager allocates them from pools
+# (du_manager/ran_resources.py) and the CU delivers them to the UE over
+# RRC (rrc/messages_38331.py build_sp_cell_config).

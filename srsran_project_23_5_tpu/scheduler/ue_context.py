@@ -31,6 +31,9 @@ class UeContext:
     dl_nof_ko: int = 0
     ul_nof_ok: int = 0
     ul_nof_ko: int = 0
+    # pooled SR/CSI PUCCH resources from the DU resource manager
+    # (du_manager.ran_resources.UePucchAlloc); None = pool was exhausted
+    pucch_alloc: object = None
 
     @classmethod
     def create(cls, rnti: int, nof_harqs: int = 16,
