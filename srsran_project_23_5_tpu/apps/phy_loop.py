@@ -164,11 +164,15 @@ class _UeUlGrant:
 
 class PhyLoop:
     def __init__(self, cell: CellConfig, snr_db: float = 30.0,
-                 ue_delay_samples: float = 0.0) -> None:
+                 ue_delay_samples: float = 0.0,
+                 sanitize: bool = True) -> None:
         self.cell = cell
         self.nfft = numerology.min_nfft(cell.nof_prb)
+        # the app loop is not latency-critical: keep the grid overlap
+        # sanitizer ON (support/sanitizers.py); bench paths leave it off
         self.upper = UpperPhy(UpperPhyConfig(nof_prb=cell.nof_prb,
-                                             nfft=self.nfft))
+                                             nfft=self.nfft,
+                                             sanitize=sanitize))
         self.snr_db = snr_db
         self.ue_delay_samples = float(ue_delay_samples)
         self._rng = np.random.default_rng(1234)

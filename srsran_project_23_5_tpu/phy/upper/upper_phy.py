@@ -36,6 +36,10 @@ class UpperPhyConfig:
     # the legacy per-PDU dispatch for A/B comparison.
     bucketed: bool = True
     nof_ldpc_iterations: int = 6
+    # sanitize=True runs the grid write-overlap sanitizer on every DL
+    # slot (support/sanitizers.py — the TSAN-analogue debug mode); keep
+    # off on the real-time path
+    sanitize: bool = False
 
     @property
     def nsc(self) -> int:
@@ -61,6 +65,10 @@ class UpperPhy:
 
         Default (bucketed): ONE fused jitted assembly program per slot
         signature (slot_programs.DlSlotPrograms)."""
+        if self.config.sanitize:
+            from ...support import sanitizers
+            sanitizers.check_dl_slot(req, self.config.nof_tx_ports,
+                                     self.config.nsc)
         if self.config.bucketed:
             tbs = data.transport_blocks if data else []
             if len(tbs) < len(req.pdsch_pdus):
