@@ -39,7 +39,7 @@ def _check_sh(cfg, nof_prb: int, what: str, errors: list) -> None:
         errors.append(f"{what}: invalid modulation order {cfg.qm}")
     if not 0 <= cfg.rv <= 3:
         errors.append(f"{what}: rv {cfg.rv} out of range [0, 3]")
-    if cfg.nof_layers not in (1, 2):
+    if cfg.nof_layers not in (1, 2, 4):
         errors.append(f"{what}: nof_layers {cfg.nof_layers} unsupported")
     if cfg.prb_start < 0 or cfg.nof_prb < 1 \
             or cfg.prb_start + cfg.nof_prb > nof_prb:

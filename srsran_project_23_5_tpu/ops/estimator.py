@@ -110,8 +110,8 @@ def estimate_comb2(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray,
                                h_dmrs=h_dmrs)
 
 
-def estimate_comb2_occ2(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray
-                        ) -> CombChannelEstimate:
+def estimate_comb2_occ2(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray,
+                        sc_offset: int = 0) -> CombChannelEstimate:
     """Two-layer CDM despread estimate (type-1, CDM group 0, fd-OCC).
 
     DM-RS ports 0/1 share the comb and are separated by the frequency OCC
@@ -140,10 +140,11 @@ def estimate_comb2_occ2(rx_pilots: jnp.ndarray, tx_pilots: jnp.ndarray
     epre = jnp.mean(jnp.abs(rx_pilots) ** 2, axis=(-1, -2))
     rsrp = jnp.mean(jnp.abs(p) ** 2, axis=(-1, -2))
 
-    # pair j covers allocation SCs {4j, 4j+2}; interpolate from centers
-    # 4j+1 onto every allocation subcarrier.
+    # pair j covers allocation SCs {4j, 4j+2} (+sc_offset for CDM group
+    # 1's comb); interpolate from centers 4j+1(+offset) onto every
+    # allocation subcarrier.
     npair = h0.shape[-1]
-    sc = 4 * np.arange(npair) + 1
+    sc = 4 * np.arange(npair) + 1 + sc_offset
     h_alloc = _interp_freq(p, sc, 4 * npair)
     return CombChannelEstimate(h_alloc=h_alloc, noise_var=noise_var,
                                epre=epre, rsrp=rsrp)

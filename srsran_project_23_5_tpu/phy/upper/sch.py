@@ -239,11 +239,18 @@ def _dmrs_pilots(cfg: ShConfig) -> jnp.ndarray:
 
 def _dmrs_occ(cfg: ShConfig, layer: int) -> np.ndarray:
     """Frequency OCC w_f of DM-RS port `layer` over the pilot index
-    (TS 38.211 Table 6.4.1.1.3-1: [+1,+1] port 0, [+1,-1] port 1)."""
+    (TS 38.211 Table 6.4.1.1.3-1: ports 1000/1002 [+1,+1], ports
+    1001/1003 [+1,-1]; ports 1000/1001 ride CDM group 0 (comb 0),
+    1002/1003 CDM group 1 (comb 1) — see `_dmrs_comb`)."""
     npil = 6 * cfg.nof_prb
-    if layer == 0:
+    if layer % 2 == 0:
         return np.ones(npil, np.float32)
     return np.where(np.arange(npil) % 2 == 0, 1.0, -1.0).astype(np.float32)
+
+
+def _dmrs_comb(layer: int) -> int:
+    """CDM group (= comb index Δ) of DM-RS port `layer` (type 1)."""
+    return 0 if layer < 2 else 1
 
 
 def _encode_sch(tb_bits: jnp.ndarray, cfg: ShConfig,
@@ -264,7 +271,8 @@ def _encode_sch(tb_bits: jnp.ndarray, cfg: ShConfig,
 
 
 def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
-            pilots: jnp.ndarray | None = None) -> jnp.ndarray:
+            pilots: jnp.ndarray | None = None,
+            pilot_comb: int = 0) -> jnp.ndarray:
     """Structured slice-based RE mapping (no scatters): each symbol of the
     contiguous allocation is one row write; DM-RS symbols interleave the
     comb-2 pilots with data (CDM-1) or zeros (CDM-2).  Public so profilers
@@ -300,7 +308,9 @@ def map_res(syms: jnp.ndarray, cfg: ShConfig, grid: jnp.ndarray,
             row = jnp.stack([pilots[dmrs_i[l]], chunk], axis=-1).reshape(-1)
         else:  # dmrs only
             zero = jnp.zeros_like(pilots[dmrs_i[l]])
-            row = jnp.stack([pilots[dmrs_i[l]], zero], axis=-1).reshape(-1)
+            pair = ([zero, pilots[dmrs_i[l]]] if pilot_comb
+                    else [pilots[dmrs_i[l]], zero])
+            row = jnp.stack(pair, axis=-1).reshape(-1)
         if cfg.vrb_to_prb_interleaved:
             # virtual (VRB) row → physical PRBs: one static scatter-free
             # gather of the full BWP row
@@ -328,7 +338,7 @@ def _scramble_modulate_map(codeword: jnp.ndarray, cfg: ShConfig,
     # ports (channel_precoder_avx2.cpp → one einsum).  DM-RS rides the
     # layer planes so pilots are precoded exactly like data.
     assert cfg.dmrs_cdm_groups_without_data >= 2, \
-        "2-layer mapping requires CDM groups without data = 2"
+        "multi-layer mapping requires CDM groups without data = 2"
     assert grid.ndim == 3, "MIMO transmit needs a [port, nsym, nsc] grid"
     nports = grid.shape[0]
     lay = precoding.layer_map(syms, cfg.nof_layers)      # [L, n_re/L]
@@ -338,7 +348,8 @@ def _scramble_modulate_map(codeword: jnp.ndarray, cfg: ShConfig,
         occ = jnp.asarray(_dmrs_occ(cfg, l))
         plane = map_res(lay[l], cfg,
                         jnp.zeros(grid.shape[1:], grid.dtype),
-                        pilots=base_pilots * occ)
+                        pilots=base_pilots * occ,
+                        pilot_comb=_dmrs_comb(l))
         planes.append(plane)
     if w is None and nports == cfg.nof_layers:
         # identity layer→port mapping: the layer planes ARE the port
@@ -596,23 +607,39 @@ def pusch_demodulate(rx_grid: jnp.ndarray, cfg: ShConfig,
             kept = blk[..., jnp.asarray(keep)]
         return kept.reshape(*x.shape[:-1], cfg.nof_prb * nk)
 
-    if cfg.nof_layers == 2:
-        # CDM-OCC despread → per-layer channel [nrx, 2, width], then n×2
-        # joint ZF per RE (equalize_zf_2x2.cpp generalized).
+    if cfg.nof_layers in (2, 4):
+        # CDM-OCC despread → per-layer channel [nrx, L, width], then n×L
+        # joint ZF per RE (equalize_zf_2x2.cpp generalized; L=4 adds CDM
+        # group 1 on the odd comb and the Schur-block n×4 solver).
         est = estimator.estimate_comb2_occ2(rx_pilots, tx_pilots)
+        if cfg.nof_layers == 4:
+            rx_pilots_c1 = jnp.stack(
+                [rx_grid[..., l, lo:hi][..., 1::2]
+                 for l in cfg.dmrs_symbols], axis=-2)
+            est1 = estimator.estimate_comb2_occ2(rx_pilots_c1, tx_pilots,
+                                                 sc_offset=1)
+            h_layers = jnp.concatenate([est.h_alloc, est1.h_alloc],
+                                       axis=-2)           # [nrx, 4, w]
+            nv_est = 0.5 * (jnp.mean(est.noise_var)
+                            + jnp.mean(est1.noise_var))
+        else:
+            h_layers = est.h_alloc
+            nv_est = jnp.mean(est.noise_var)
         y_rows, h_rows = [], []
         for l, kind in cfg.symbol_plan:
             if kind == "full":
                 y_rows.append(rx_grid[..., l, lo:hi])
-                h_rows.append(est.h_alloc)
+                h_rows.append(h_layers)
             elif kind == "reserved":
                 y_rows.append(_keep_resv(rx_grid[..., l, lo:hi], l))
-                h_rows.append(_keep_resv(est.h_alloc, l))
+                h_rows.append(_keep_resv(h_layers, l))
             # else: CDM=2 DM-RS symbols carry no data
         y = jnp.concatenate(y_rows, axis=-1)              # [nrx, n_re]
-        h = jnp.concatenate(h_rows, axis=-1)              # [nrx, 2, n_re]
-        noise_var = jnp.maximum(jnp.mean(est.noise_var), 1e-9)
-        x_lay, nv_lay = equalizer.zf_nx2(y, h, noise_var)  # [2, n_re] each
+        h = jnp.concatenate(h_rows, axis=-1)              # [nrx, L, n_re]
+        noise_var = jnp.maximum(nv_est, 1e-9)
+        eq = (equalizer.zf_nx4 if cfg.nof_layers == 4
+              else equalizer.zf_nx2)
+        x_lay, nv_lay = eq(y, h, noise_var)                # [L, n_re] each
         evm = evm_calculate(x_lay, cfg.qm)
         llr_lay = modulation.demodulate_soft(x_lay, nv_lay, cfg.qm)
         llr = precoding.layer_demap_llr(llr_lay, cfg.qm)  # [nof_bits]
