@@ -230,6 +230,18 @@ def pdcch_blind_receive(rx_grid: jnp.ndarray, cfg: PdcchConfig,
     return jax.vmap(one)(jnp.asarray(cce_indices, jnp.int32))
 
 
+def decode_dci_llr(llr: jnp.ndarray, cfg: PdcchConfig) -> PdcchResult:
+    """Candidate data-RE LLRs [E] (mapping order, pre-descrambling) →
+    full DCI decode: descramble, polar rate-dematch, SSC decode, CRC24C
+    with RNTI unmasking.  Used by receivers that equalize externally
+    (e.g. the mixed slot's per-REG MRC check)."""
+    seq = gold.gold_sequence(
+        jnp.asarray(cfg.scrambling_cinit, dtype=jnp.uint32), cfg.e)
+    llr = llr * (1.0 - 2.0 * seq.astype(jnp.float32))
+    payload, ok = _decode_bits_to_payload(llr, cfg)
+    return PdcchResult(payload=payload, crc_ok=ok)
+
+
 def pdcch_receive(rx_grid: jnp.ndarray, cfg: PdcchConfig) -> PdcchResult:
     """Equalization-free receive (assumes |h|≈const per REG is handled by
     upstream estimation; loopback validation path)."""

@@ -30,6 +30,7 @@ def test_mixed_slot_all_channels_ok(mixed_out):
     assert out["dl0_ok"] and out["dl0_match"] > 0.999
     assert out["dl1_ok"] and out["dl1_match"] > 0.999
     assert out["pdcch_match"] > 0.99
+    assert out["dci_crc_ok"], "in-program DCI polar+CRC re-check failed"
     assert out["ssb_match"] > 0.95 and out["pss_corr"] > 0.8
     assert out["pucch_ok"]
     assert out["prach_ok"]
@@ -102,6 +103,12 @@ def test_mixed_slot_negatives():
                                     cfg.prach_ncs)
     m = np.asarray(jnp.mean(metric, axis=0))
     assert m[cfg.prach_preamble] < cfg.prach_threshold, m
+    # the in-program DCI CRC re-check is not vacuous: noise-only LLRs
+    # must fail, and a decode against the WRONG payload must fail
+    bad_llr = jax.random.normal(jax.random.PRNGKey(9),
+                                (cfg.pdcch_dl.e,), jnp.float32)
+    assert not bool(np.asarray(gnb_mixed._dci_recheck(
+        bad_llr, jnp.zeros(cfg.pdcch_dl.payload_size, jnp.int8), cfg)))
 
 
 @pytest.mark.slow
