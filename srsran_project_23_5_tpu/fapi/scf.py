@@ -543,3 +543,61 @@ def pdcch_to_configs(pdu: DlPdcchPdu) -> list[PdcchConfig]:
             interleaver_rows=pdu.interleaver_size,
             shift=pdu.shift_index))
     return out
+
+
+# ------------------------------------- SCF requests -> processor requests
+def ul_tti_to_processor_request(req, slot_in_frame: int | None = None):
+    """builders.ScfUlTtiRequest -> messages.UlTtiRequest: the adaptor
+    step that lets an SCF-speaking MAC drive the bucketed fused UL slot
+    programs (fapi_to_phy_translator.cpp ul path)."""
+    from . import messages as msgs
+
+    sif = req.slot if slot_in_frame is None else slot_in_frame
+    out = msgs.UlTtiRequest(sfn=req.sfn, slot=req.slot)
+    for p in req.pusch_pdus:
+        out.pusch_pdus.append(msgs.PuschPdu(
+            config=pusch_to_config(p, sif),
+            harq_process=p.pusch_data.harq_process_id,
+            new_data=p.pusch_data.new_data))
+    for p in req.pucch_pdus:
+        cfg = pucch_to_config(p, sif)
+        if p.format_type == PucchFormatType.F1:
+            out.pucch_pdus.append(msgs.PucchPdu(
+                format1=cfg, rnti=p.rnti,
+                is_sr=(p.sr_bit_len > 0 and p.bit_len_harq == 0)))
+        else:
+            out.pucch_pdus.append(msgs.PucchPdu(format2=cfg, rnti=p.rnti))
+    for p in req.prach_pdus:
+        out.prach_pdus.append(msgs.PrachPdu(
+            root_sequence_index=p.maintenance_v3_prach_res_config_index,
+            length=839 if p.prach_format in (PrachFormatType.F0,
+                                             PrachFormatType.F1,
+                                             PrachFormatType.F2,
+                                             PrachFormatType.F3) else 139,
+            zero_correlation_zone=p.num_cs, occasion=p.index_fd_ra,
+            nof_preambles=p.maintenance_v3_num_preamble_indices))
+    return out
+
+
+def dl_tti_to_processor_request(req, slot_in_frame: int | None = None):
+    """builders.ScfDlTtiRequest -> messages.DlTtiRequest (DL path).
+
+    SSB/CSI-RS PDUs still carry framework processor configs at the SCF
+    layer boundary in this build; PDSCH/PDCCH translate from the full
+    SCF surfaces."""
+    import numpy as np
+
+    from . import messages as msgs
+
+    sif = req.slot if slot_in_frame is None else slot_in_frame
+    out = msgs.DlTtiRequest(sfn=req.sfn, slot=req.slot)
+    for p in req.pdsch_pdus:
+        out.pdsch_pdus.append(msgs.PdschPdu(pdsch_to_config(p, sif)))
+    for p in req.pdcch_pdus:
+        for cfg, dci in zip(pdcch_to_configs(p), p.dl_dci):
+            bits = np.unpackbits(
+                np.frombuffer(dci.payload, np.uint8))[:dci.payload_size_bits]
+            out.pdcch_pdus.append(msgs.PdcchPdu(cfg, bits.astype(np.int8)))
+    out.ssb_pdus.extend(req.ssb_pdus)
+    out.csi_rs_pdus.extend(req.csi_rs_pdus)
+    return out
