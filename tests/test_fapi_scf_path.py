@@ -72,3 +72,35 @@ def test_scf_ul_request_drives_bucketed_path():
     assert crc[0].harq_process == 3
     np.testing.assert_array_equal(rxd[0].payload, tb)
     assert uci and uci[0].detected and uci[0].harq_bits[0] == 1
+
+
+def test_scf_dl_request_translation():
+    """builders DL request -> processor request: PDSCH config and PDCCH
+    DCI bit unpacking land where the direct path puts them."""
+    b = builders.DlTtiRequestBuilder(sfn=1, slot=2)
+    (b.add_pdsch_pdu()
+      .set_basic_parameters(rnti=0x4601)
+      .set_bwp_parameters(bwp_size=NOF_PRB, bwp_start=0)
+      .add_codeword(target_code_rate=5120, qam_mod_order=4, mcs_index=10,
+                    mcs_table=0, rv_index=0, tb_size_bytes=100)
+      .set_codeword_information_parameters(nid_pdsch=1, num_layers=1)
+      .set_dmrs_parameters(
+          dmrs_symbol_mask=scf.symbols_to_dmrs_mask((2, 7, 11)),
+          dmrs_type=scf.DmrsCfgType.TYPE_1, scrambling_id=1, nscid=0,
+          num_cdm_grps_no_data=2, dmrs_ports=0b1)
+      .set_pdsch_allocation_in_frequency_type_1(rb_start=4, rb_size=8)
+      .set_pdsch_allocation_in_time_parameters(2, 12))
+    dci_payload_bits = np.array([1, 0, 1, 1, 0, 1, 0, 0, 1, 1], np.uint8)
+    b.add_pdcch_pdu(scf.DlPdcchPdu(
+        coreset_bwp_size=NOF_PRB, start_symbol_index=0,
+        duration_symbols=1,
+        dl_dci=[scf.DlDciPdu(
+            rnti=0x4601, cce_index=0, aggregation_level=4,
+            payload=np.packbits(dci_payload_bits).tobytes(),
+            payload_size_bits=len(dci_payload_bits))]))
+    req = scf.dl_tti_to_processor_request(b.build())
+    assert req.pdsch_pdus[0].config.tbs == 800
+    assert req.pdsch_pdus[0].config.prb_start == 4
+    assert req.pdcch_pdus[0].config.payload_size == 10
+    np.testing.assert_array_equal(req.pdcch_pdus[0].payload_bits,
+                                  dci_payload_bits.astype(np.int8))
